@@ -1,0 +1,353 @@
+"""Config system: YAML experiment files -> typed, validated parameter trees.
+
+Keeps the reference's YAML schema (sections ``MODEL / DATALOADER / GENERATOR /
+TRAIN / ENCODINGS / GENERAL [/ SOFTMAX_PRETRAINING]``, cf.
+``embedding_net/utils.py:156-197`` and ``configs/road_signs_apollo.yml``) and
+extends it with optional TPU-specific sections ``MESH`` and ``PERFORMANCE``.
+
+Deliberate fixes over the reference (documented, not reproduced):
+
+* the reference gates augmentations on the key ``augmentations_type`` but then
+  reads ``augmentation_type`` (``embedding_net/utils.py:160-161``), so presets
+  silently never load; here the ``GENERATOR.augmentations`` name (which the
+  shipped configs actually use, ``configs/road_signs_apollo.yml:27``) selects
+  the preset directly, with ``augmentation_type`` accepted as an alias.
+* optimizer/augmentation *objects* are not baked into the params dict; the
+  params stay plain data and factories are invoked where needed (functional
+  JAX style — an optax optimizer is not a mutable object to share).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence
+
+import yaml
+
+
+class ConfigError(ValueError):
+    """Raised when an experiment config fails validation."""
+
+
+class _SectionBase:
+    """Mapping-style access so call sites can use ``params['key']`` or attrs.
+
+    The reference passes param dicts around with ``**kwargs`` splats
+    (``tools/train.py:110-117``); supporting the mapping protocol keeps that
+    public surface intact while giving us typed attributes internally.
+    """
+
+    def __getitem__(self, key: str) -> Any:
+        try:
+            return getattr(self, key)
+        except AttributeError:
+            raise KeyError(key) from None
+
+    def __contains__(self, key: str) -> bool:
+        return hasattr(self, key)
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return getattr(self, key, default)
+
+    def keys(self):
+        return [f.name for f in dataclasses.fields(self)]
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+_VALID_MODES = ("triplet", "siamese")
+_VALID_DISTANCES = ("l1", "l2")
+_VALID_MINING = ("semihard", "hardest", "random_hard", "batch_all", "batch_hard")
+_VALID_OPTIMIZERS = ("adam", "rms_prop", "radam", "sgd")
+_VALID_DTYPES = ("float32", "bfloat16")
+
+
+@dataclass
+class ModelConfig(_SectionBase):
+    """``MODEL:`` section (cf. ``configs/road_signs_apollo.yml:1-9``)."""
+
+    input_shape: Sequence[int] = (48, 48, 3)
+    encodings_len: int = 256
+    mode: str = "triplet"
+    distance_type: str = "l1"
+    backbone_name: str = "simple"
+    backbone_weights: Optional[str] = "imagenet"
+    freeze_backbone: bool = False
+    embeddings_normalization: bool = True
+
+    def __post_init__(self):
+        self.input_shape = tuple(int(x) for x in self.input_shape)
+        if len(self.input_shape) != 3:
+            raise ConfigError(
+                f"MODEL.input_shape must be [H, W, C], got {self.input_shape}")
+        if self.mode not in _VALID_MODES:
+            raise ConfigError(
+                f"MODEL.mode must be one of {_VALID_MODES}, got {self.mode!r}")
+        if self.distance_type not in _VALID_DISTANCES:
+            raise ConfigError(
+                f"MODEL.distance_type must be one of {_VALID_DISTANCES}, "
+                f"got {self.distance_type!r}")
+        if self.encodings_len <= 0:
+            raise ConfigError("MODEL.encodings_len must be positive")
+
+
+@dataclass
+class DataLoaderConfig(_SectionBase):
+    """``DATALOADER:`` section (cf. ``configs/road_signs_apollo.yml:11-18``).
+
+    ``csv_file`` (used by ``configs/template.yml:13``) is accepted as an
+    alias for ``train_csv_file``.
+    """
+
+    dataset_path: str = ""
+    train_csv_file: Optional[str] = None
+    val_csv_file: Optional[str] = None
+    image_id_column: str = "image_id"
+    label_column: str = "label"
+    validate: bool = True
+    val_ratio: float = 0.1
+    is_google: bool = False
+    cache_index: bool = True
+
+    def __post_init__(self):
+        if not (0.0 < self.val_ratio < 1.0):
+            raise ConfigError("DATALOADER.val_ratio must be in (0, 1)")
+
+
+@dataclass
+class GeneratorConfig(_SectionBase):
+    """``GENERATOR:`` section (cf. ``configs/road_signs_apollo.yml:20-27``)."""
+
+    negatives_selection_mode: str = "semihard"
+    k_classes: int = 5
+    k_samples: int = 5
+    margin: float = 0.5
+    batch_size: int = 32
+    n_batches: int = 10
+    n_batches_val: int = 10
+    augmentations: Optional[str] = None
+    input_shape: Optional[Sequence[int]] = None  # injected from MODEL
+
+    def __post_init__(self):
+        if self.augmentations in ("none", "None", ""):
+            self.augmentations = None
+        if self.negatives_selection_mode not in _VALID_MINING:
+            raise ConfigError(
+                f"GENERATOR.negatives_selection_mode must be one of "
+                f"{_VALID_MINING}, got {self.negatives_selection_mode!r}")
+        if self.k_classes < 2:
+            raise ConfigError("GENERATOR.k_classes must be >= 2 for mining")
+        if self.k_samples < 2:
+            raise ConfigError("GENERATOR.k_samples must be >= 2 for mining")
+
+
+@dataclass
+class TrainConfig(_SectionBase):
+    """``TRAIN:`` section (cf. ``configs/road_signs_apollo.yml:29-40``)."""
+
+    optimizer: str = "adam"
+    learning_rate: float = 1e-3
+    decay_factor: float = 0.99
+    step_size: int = 1
+    n_epochs: int = 10
+    plot_history: bool = True
+    # Host-loop callback knobs; reference hard-codes these in
+    # ``tools/train.py:79-91``. Exposed so they are tunable.
+    plateau_factor: float = 0.1
+    plateau_patience: int = 4
+    early_stopping_patience: int = 10
+
+    def __post_init__(self):
+        if self.optimizer not in _VALID_OPTIMIZERS:
+            raise ConfigError(
+                f"TRAIN.optimizer must be one of {_VALID_OPTIMIZERS}, "
+                f"got {self.optimizer!r}")
+        if self.learning_rate <= 0:
+            raise ConfigError("TRAIN.learning_rate must be positive")
+
+
+@dataclass
+class SoftmaxPretrainConfig(_SectionBase):
+    """``SOFTMAX_PRETRAINING:`` section (cf. ``configs/template.yml:41-51``)."""
+
+    optimizer: str = "radam"
+    learning_rate: float = 1e-4
+    decay_factor: float = 0.99
+    step_size: int = 1
+    batch_size: int = 16
+    val_steps: int = 100
+    steps_per_epoch: int = 500
+    n_epochs: int = 5
+    augmentations: Optional[str] = None
+    input_shape: Optional[Sequence[int]] = None  # injected from MODEL
+
+
+@dataclass
+class EncodingsConfig(_SectionBase):
+    """``ENCODINGS:`` section (cf. ``configs/road_signs_apollo.yml:54-59``).
+
+    The reference parses ``centers_only`` and ``knn_k`` but never consumes
+    them (declared-but-unimplemented surface); here both are implemented:
+    ``centers_only`` stores one mean encoding per class, ``knn_k`` sets the
+    k of the kNN classifier.
+    """
+
+    save_encodings: bool = True
+    centers_only: bool = False
+    max_num_samples_of_each_class: int = 30
+    knn_k: int = 1
+
+
+@dataclass
+class GeneralConfig(_SectionBase):
+    """``GENERAL:`` section (cf. ``configs/road_signs_apollo.yml:61-64``)."""
+
+    project_name: str = "project"
+    work_dir: str = "work_dirs/"
+    tensorboard_callback: bool = False
+    wandb_callback: bool = False
+    # Reference selects GPUs by CUDA_VISIBLE_DEVICES (``tools/train.py:121-131``);
+    # kept for schema compatibility, ignored on TPU (mesh comes from MESH:).
+    gpu_ids: Optional[str] = None
+    seed: int = 42
+
+
+@dataclass
+class MeshConfig(_SectionBase):
+    """``MESH:`` section (new, TPU-specific).
+
+    Shapes the ``jax.sharding.Mesh``. ``data=-1`` means "all remaining
+    devices". The reference's only parallelism is single-host mirrored data
+    parallel (``tools/train.py:121-140``); here DP is the default and the
+    batch axis of the pairwise-distance matrix can additionally be sharded.
+    """
+
+    data: int = -1
+    model: int = 1
+
+    def __post_init__(self):
+        if self.model < 1:
+            raise ConfigError("MESH.model must be >= 1")
+
+
+@dataclass
+class PerformanceConfig(_SectionBase):
+    """``PERFORMANCE:`` section (new, TPU-specific)."""
+
+    compute_dtype: str = "bfloat16"
+    params_dtype: str = "float32"
+    remat: bool = False
+    donate_state: bool = True
+    use_pallas_mining: bool = False
+
+    def __post_init__(self):
+        if self.compute_dtype not in _VALID_DTYPES:
+            raise ConfigError(
+                f"PERFORMANCE.compute_dtype must be one of {_VALID_DTYPES}")
+        if self.params_dtype not in _VALID_DTYPES:
+            raise ConfigError(
+                f"PERFORMANCE.params_dtype must be one of {_VALID_DTYPES}")
+
+
+@dataclass
+class Params(_SectionBase):
+    """Full experiment config; mapping-compatible with the reference's
+    ``{'dataloader': ..., 'generator': ..., ...}`` dict
+    (``embedding_net/utils.py:180-185``)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    dataloader: DataLoaderConfig = field(default_factory=DataLoaderConfig)
+    generator: GeneratorConfig = field(default_factory=GeneratorConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    encodings: EncodingsConfig = field(default_factory=EncodingsConfig)
+    general: GeneralConfig = field(default_factory=GeneralConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    performance: PerformanceConfig = field(default_factory=PerformanceConfig)
+    softmax: Optional[SoftmaxPretrainConfig] = None
+
+
+def _build_section(cls, raw: Mapping[str, Any], section: str):
+    if raw is None:
+        raw = {}
+    if not isinstance(raw, Mapping):
+        raise ConfigError(f"{section} section must be a mapping, got {type(raw)}")
+    known = {f.name for f in dataclasses.fields(cls)}
+    kwargs, unknown = {}, []
+    for key, value in raw.items():
+        if key in known:
+            kwargs[key] = value
+        else:
+            unknown.append(key)
+    if unknown:
+        raise ConfigError(
+            f"Unknown key(s) {unknown} in {section} section "
+            f"(valid: {sorted(known)})")
+    return cls(**kwargs)
+
+
+# Keys normalized before dataclass construction: reference-era aliases.
+_DATALOADER_ALIASES = {"csv_file": "train_csv_file"}
+_GENERATOR_ALIASES = {"augmentation_type": "augmentations",
+                      "augmentations_type": "augmentations"}
+
+
+def _apply_aliases(raw: Optional[Mapping[str, Any]],
+                   aliases: Mapping[str, str]) -> dict:
+    out = dict(raw or {})
+    for old, new in aliases.items():
+        if old in out and new not in out:
+            out[new] = out.pop(old)
+        else:
+            out.pop(old, None)
+    return out
+
+
+def parse_params(filename: str) -> Params:
+    """YAML experiment file -> validated :class:`Params`.
+
+    Mirrors ``embedding_net/utils.py:156-197``: same section names, same
+    key spellings, with GENERATOR.input_shape injected from MODEL
+    (``utils.py:176``) and the softmax section mirrored into ``params.softmax``
+    only when ``SOFTMAX_PRETRAINING`` is present (``utils.py:187-194``).
+    """
+    with open(filename, "r") as f:
+        cfg = yaml.safe_load(f)
+    if not isinstance(cfg, Mapping):
+        raise ConfigError(f"Config file {filename} is not a YAML mapping")
+    return params_from_dict(cfg)
+
+
+def params_from_dict(cfg: Mapping[str, Any]) -> Params:
+    """Build :class:`Params` from an already-loaded config mapping."""
+    model = _build_section(ModelConfig, cfg.get("MODEL"), "MODEL")
+    dataloader = _build_section(
+        DataLoaderConfig,
+        _apply_aliases(cfg.get("DATALOADER"), _DATALOADER_ALIASES),
+        "DATALOADER")
+    generator = _build_section(
+        GeneratorConfig,
+        _apply_aliases(cfg.get("GENERATOR"), _GENERATOR_ALIASES),
+        "GENERATOR")
+    train = _build_section(TrainConfig, cfg.get("TRAIN"), "TRAIN")
+    encodings = _build_section(EncodingsConfig, cfg.get("ENCODINGS"), "ENCODINGS")
+    general = _build_section(GeneralConfig, cfg.get("GENERAL"), "GENERAL")
+    mesh = _build_section(MeshConfig, cfg.get("MESH"), "MESH")
+    performance = _build_section(
+        PerformanceConfig, cfg.get("PERFORMANCE"), "PERFORMANCE")
+
+    generator.input_shape = model.input_shape
+
+    softmax = None
+    if "SOFTMAX_PRETRAINING" in cfg and cfg["SOFTMAX_PRETRAINING"] is not None:
+        softmax = _build_section(
+            SoftmaxPretrainConfig, cfg["SOFTMAX_PRETRAINING"],
+            "SOFTMAX_PRETRAINING")
+        softmax.input_shape = model.input_shape
+        if softmax.augmentations is None:
+            softmax.augmentations = generator.augmentations
+
+    return Params(model=model, dataloader=dataloader, generator=generator,
+                  train=train, encodings=encodings, general=general,
+                  mesh=mesh, performance=performance, softmax=softmax)
