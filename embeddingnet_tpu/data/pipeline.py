@@ -1,0 +1,107 @@
+"""Host decode pipeline: sampler -> threaded cv2 decode -> device prefetch.
+
+The reference decodes images one-by-one in the generator's ``__getitem__``
+on the training thread (``embedding_net/datagenerators.py:145-156``) — the
+device idles during decode. Here decode runs in a thread pool overlapped
+with device compute, batches are queued ahead, and arrays cross to HBM as
+uint8 (4x less PCIe/DMA traffic than the reference's float64 ``/255.``
+host arrays) — normalization and augmentation run on device.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from embeddingnet_tpu.data.images import get_image
+
+
+class BatchLoader:
+    """Iterate device-ready uint8 batches from a sampler.
+
+    ``sampler`` yields ``(paths, labels)`` where paths is a list of file
+    paths or a tuple of such lists (pairs/triplets). Output mirrors that
+    structure with stacked uint8 arrays [B, H, W, 3] (BGR).
+    """
+
+    def __init__(self, sampler, input_shape: Sequence[int],
+                 num_workers: int = 8, prefetch: int = 4,
+                 n_batches: Optional[int] = None):
+        self.sampler = sampler
+        self.input_shape = tuple(input_shape)
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.n_batches = n_batches
+
+    def _decode_many(self, pool: ThreadPoolExecutor,
+                     paths: Sequence[str]) -> np.ndarray:
+        h, w = self.input_shape[0], self.input_shape[1]
+        imgs = list(pool.map(lambda p: get_image(p, self.input_shape), paths))
+        out = np.zeros((len(paths), h, w, 3), np.uint8)
+        for i, im in enumerate(imgs):
+            if im is not None:
+                out[i] = im
+        return out
+
+    def _decode_batch(self, pool, item):
+        paths, labels = item
+        if isinstance(paths, tuple):
+            images = tuple(self._decode_many(pool, p) for p in paths)
+        else:
+            images = self._decode_many(pool, paths)
+        return images, labels
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yields batches; a background thread keeps ``prefetch`` batches
+        decoded ahead of the consumer."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        sentinel = object()
+
+        def producer():
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            try:
+                it = iter(self.sampler)
+                count = 0
+                while not stop.is_set():
+                    if self.n_batches is not None and count >= self.n_batches:
+                        break
+                    batch = self._decode_batch(pool, next(it))
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    count += 1
+            finally:
+                pool.shutdown(wait=False)
+                try:
+                    q.put(sentinel, timeout=1.0)
+                except queue.Full:
+                    pass
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def to_device_batch(images: np.ndarray, labels: np.ndarray, sharding=None):
+    """Transfer a host batch to device(s), optionally sharded over a mesh."""
+    import jax
+
+    if sharding is not None:
+        return (jax.device_put(images, sharding),
+                jax.device_put(labels, sharding))
+    return jax.device_put((images, labels))

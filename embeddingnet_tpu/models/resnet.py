@@ -1,0 +1,144 @@
+"""ResNet family (18/34/50/101/152) in Flax.
+
+TPU-native replacement for the reference's qubvel ``classification_models``
+backbones (``embedding_net/backbones.py:100-104`` — any non-simple,
+non-efficientnet ``backbone_name`` resolves to that zoo, most commonly
+``resnet18``/``resnet50``). ``include_top=False`` semantics: the module
+returns the final feature map; the embedding head is attached by
+:class:`embeddingnet_tpu.models.registry.EmbeddingModule`.
+
+Architecture is standard He et al. v1 post-activation. ``stride_in_3x3``
+selects where a stage's downsampling stride lives in bottleneck blocks:
+``True`` = torchvision "v1.5" placement (3x3 conv — today's default),
+``False`` = original / keras.applications placement (first 1x1) — use the
+latter when porting keras.applications ResNet50 weights.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+he_normal = nn.initializers.he_normal
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity shortcut (ResNet-18/34)."""
+
+    filters: int
+    strides: tuple = (1, 1)
+    norm: Callable = nn.BatchNorm
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), self.strides, padding="SAME",
+                    use_bias=False, kernel_init=he_normal(),
+                    dtype=self.dtype, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
+                    kernel_init=he_normal(), dtype=self.dtype,
+                    name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters, (1, 1), self.strides,
+                               use_bias=False, kernel_init=he_normal(),
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(residual + y)
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1(4x) bottleneck (ResNet-50/101/152)."""
+
+    filters: int
+    strides: tuple = (1, 1)
+    norm: Callable = nn.BatchNorm
+    stride_in_3x3: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        s1 = (1, 1) if self.stride_in_3x3 else self.strides
+        s3 = self.strides if self.stride_in_3x3 else (1, 1)
+        y = nn.Conv(self.filters, (1, 1), s1, use_bias=False,
+                    kernel_init=he_normal(), dtype=self.dtype,
+                    name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), s3, padding="SAME", use_bias=False,
+                    kernel_init=he_normal(), dtype=self.dtype,
+                    name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
+                    kernel_init=he_normal(), dtype=self.dtype,
+                    name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters * 4, (1, 1), self.strides,
+                               use_bias=False, kernel_init=he_normal(),
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(residual + y)
+
+
+class ResNet(nn.Module):
+    """Generic ResNet backbone; returns the final [B, H/32, W/32, C] map."""
+
+    stage_sizes: Sequence[int]
+    block_cls: Any
+    num_filters: int = 64
+    stride_in_3x3: bool = True
+    bn_epsilon: float = 1.001e-5  # keras.applications resnet epsilon
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.99, epsilon=self.bn_epsilon,
+                       dtype=self.dtype)
+        x = nn.Conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, kernel_init=he_normal(),
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = norm(name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, block_count in enumerate(self.stage_sizes):
+            for j in range(block_count):
+                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                kwargs = dict(filters=self.num_filters * 2 ** i,
+                              strides=strides, norm=norm, dtype=self.dtype,
+                              name=f"stage{i + 1}_block{j + 1}")
+                if self.block_cls is BottleneckBlock:
+                    kwargs["stride_in_3x3"] = self.stride_in_3x3
+                x = self.block_cls(**kwargs)(x)
+        return x
+
+
+def resnet18(**kw) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, **kw)
+
+
+def resnet34(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock, **kw)
+
+
+def resnet50(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BottleneckBlock, **kw)
+
+
+def resnet101(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), block_cls=BottleneckBlock, **kw)
+
+
+def resnet152(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 8, 36, 3), block_cls=BottleneckBlock, **kw)

@@ -1,0 +1,309 @@
+"""On-device batch augmentation: the albumentations presets as JAX kernels.
+
+The reference applies albumentations per image on host inside the
+generator (``embedding_net/augmentations.py:4-55`` applied at
+``datagenerators.py:154``) — a Python loop over cv2 ops on the training
+thread. Here each preset is a fused batch transform over float BGR images
+in 0..255 space, with per-image Bernoulli gates and parameter draws from a
+threaded PRNG key: the whole pipeline jits into the train step and runs on
+the VPU, overlapped with nothing because it *is* part of the step.
+
+Preset parity (same ops, same probabilities, same parameter ranges):
+
+* ``default``  — brightness/contrast, gamma, HSV shift, CLAHE, blur,
+  gauss-noise (``augmentations.py:5-14``);
+* ``plates``   — default + H/V flips + random-crop-to-2/3
+  (``augmentations.py:15-29``; the reference's crop *changes the output
+  shape* which would break the fixed-input model — here crop-and-resize
+  keeps shapes static, the TPU-correct reading of the intent);
+* ``deepfake`` — horizontal flip only (``augmentations.py:30-33``);
+* ``plates2``  — CLAHE, flips, brightness, contrast, rot90, HSV, noise,
+  center-crop-2/3 + resize back (``augmentations.py:34-51``).
+
+CLAHE note: true CLAHE is tile-local histogram equalization — awkward in
+XLA. This implements contrast-limited *global* equalization on the
+luminance channel (sorted-CDF mapping with clip), a documented
+approximation (SURVEY.md §7 hard-parts list).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Image = jnp.ndarray  # [B, H, W, 3] float32, 0..255, BGR
+
+
+def _gate(rng: jax.Array, p: float, batch: int) -> jnp.ndarray:
+    """Per-image Bernoulli application mask [B, 1, 1, 1]."""
+    return jax.random.bernoulli(rng, p, (batch, 1, 1, 1)).astype(jnp.float32)
+
+
+def _blend(x: Image, y: Image, mask: jnp.ndarray) -> Image:
+    return x * (1.0 - mask) + y * mask
+
+
+def _uniform(rng, batch, lo, hi):
+    return jax.random.uniform(rng, (batch, 1, 1, 1), minval=lo, maxval=hi)
+
+
+# -- color ops -------------------------------------------------------------
+
+def brightness_contrast(x: Image, rng: jax.Array, p: float = 0.4,
+                        brightness_limit: float = 0.2,
+                        contrast_limit: float = 0.2) -> Image:
+    """albumentations RandomBrightnessContrast defaults
+    (brightness_by_max=True: beta scales 255)."""
+    b = x.shape[0]
+    r1, r2, r3 = jax.random.split(rng, 3)
+    alpha = 1.0 + _uniform(r1, b, -contrast_limit, contrast_limit)
+    beta = _uniform(r2, b, -brightness_limit, brightness_limit) * 255.0
+    out = jnp.clip(x * alpha + beta, 0.0, 255.0)
+    return _blend(x, out, _gate(r3, p, b))
+
+
+def random_brightness(x: Image, rng: jax.Array, p: float = 0.3,
+                      limit: float = 0.2) -> Image:
+    b = x.shape[0]
+    r1, r2 = jax.random.split(rng)
+    beta = _uniform(r1, b, -limit, limit) * 255.0
+    return _blend(x, jnp.clip(x + beta, 0, 255), _gate(r2, p, b))
+
+
+def random_contrast(x: Image, rng: jax.Array, p: float = 0.3,
+                    limit: float = 0.2) -> Image:
+    b = x.shape[0]
+    r1, r2 = jax.random.split(rng)
+    alpha = 1.0 + _uniform(r1, b, -limit, limit)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    return _blend(x, jnp.clip((x - mean) * alpha + mean, 0, 255),
+                  _gate(r2, p, b))
+
+
+def random_gamma(x: Image, rng: jax.Array, p: float = 0.4,
+                 gamma_limit: Tuple[float, float] = (80.0, 120.0)) -> Image:
+    b = x.shape[0]
+    r1, r2 = jax.random.split(rng)
+    gamma = _uniform(r1, b, gamma_limit[0] / 100.0, gamma_limit[1] / 100.0)
+    out = 255.0 * jnp.power(jnp.clip(x / 255.0, 1e-6, 1.0), gamma)
+    return _blend(x, out, _gate(r2, p, b))
+
+
+def _bgr_to_hsv(x: Image):
+    """cv2-convention HSV from BGR floats (H in [0, 360) here; V 0..255)."""
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-6), 0.0)
+    safe = jnp.maximum(delta, 1e-6)
+    h = jnp.where(
+        maxc == r, (g - b) / safe % 6.0,
+        jnp.where(maxc == g, (b - r) / safe + 2.0, (r - g) / safe + 4.0))
+    h = h * 60.0
+    h = jnp.where(delta == 0, 0.0, h)
+    return h, s, v
+
+
+def _hsv_to_bgr(h, s, v) -> Image:
+    h = (h % 360.0) / 60.0
+    i = jnp.floor(h)
+    f = h - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([b, g, r], axis=-1)
+
+
+def hue_saturation_value(x: Image, rng: jax.Array, p: float = 0.4,
+                         hue_shift_limit: float = 20.0,
+                         sat_shift_limit: float = 30.0,
+                         val_shift_limit: float = 30.0) -> Image:
+    """HSV jitter in cv2 units: hue limit in cv2's 0..180 H scale
+    (albumentations passes shifts straight to cv2)."""
+    b = x.shape[0]
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    h, s, v = _bgr_to_hsv(x)
+    # cv2 H unit = 2 degrees
+    h_shift = _uniform(r1, b, -hue_shift_limit, hue_shift_limit)[..., 0] * 2.0
+    s_shift = _uniform(r2, b, -sat_shift_limit, sat_shift_limit)[..., 0] / 255.0
+    v_shift = _uniform(r3, b, -val_shift_limit, val_shift_limit)[..., 0]
+    out = _hsv_to_bgr(h + h_shift, jnp.clip(s + s_shift, 0, 1),
+                      jnp.clip(v + v_shift, 0, 255))
+    return _blend(x, out, _gate(r4, p, b))
+
+
+def clahe_approx(x: Image, rng: jax.Array, p: float = 0.4,
+                 clip_limit: float = 4.0, n_bins: int = 256) -> Image:
+    """Contrast-limited *global* histogram equalization on luminance —
+    XLA-friendly CLAHE approximation (see module docstring)."""
+    b, hh, ww, _ = x.shape
+    lum = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]  # BGR
+    flat = lum.reshape(b, -1)
+    n = flat.shape[1]
+    # per-image histogram with clipping
+    bins = jnp.clip((flat / 256.0 * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    hist = jax.vmap(lambda bi: jnp.zeros(n_bins).at[bi].add(1.0))(bins)
+    clip_count = clip_limit * n / n_bins
+    clipped = jnp.minimum(hist, clip_count)
+    excess = (jnp.sum(hist, axis=1, keepdims=True)
+              - jnp.sum(clipped, axis=1, keepdims=True))
+    hist = clipped + excess / n_bins
+    cdf = jnp.cumsum(hist, axis=1) / n
+    mapped = jax.vmap(lambda c, bi: c[bi])(cdf, bins) * 255.0
+    new_lum = mapped.reshape(b, hh, ww)
+    ratio = (new_lum / jnp.maximum(lum, 1e-3))[..., None]
+    out = jnp.clip(x * ratio, 0, 255)
+    return _blend(x, out, _gate(rng, p, b))
+
+
+# -- geometry --------------------------------------------------------------
+
+def horizontal_flip(x: Image, rng: jax.Array, p: float = 0.5) -> Image:
+    return _blend(x, x[:, :, ::-1, :], _gate(rng, p, x.shape[0]))
+
+
+def vertical_flip(x: Image, rng: jax.Array, p: float = 0.5) -> Image:
+    return _blend(x, x[:, ::-1, :, :], _gate(rng, p, x.shape[0]))
+
+
+def random_rotate90(x: Image, rng: jax.Array, p: float = 0.3) -> Image:
+    """Random k in {0,1,2,3} quarter-turns per image (requires H == W for
+    static shapes; the reference's square inputs satisfy this)."""
+    b = x.shape[0]
+    r1, r2 = jax.random.split(rng)
+    k = jax.random.randint(r1, (b,), 0, 4)
+    rots = jnp.stack([x,
+                      jnp.rot90(x, 1, axes=(1, 2)),
+                      jnp.rot90(x, 2, axes=(1, 2)),
+                      jnp.rot90(x, 3, axes=(1, 2))], axis=1)  # [B, 4, ...]
+    chosen = jnp.take_along_axis(
+        rots, k[:, None, None, None, None], axis=1)[:, 0]
+    return _blend(x, chosen, _gate(r2, p, b))
+
+
+def _crop_resize(x: Image, top: jnp.ndarray, left: jnp.ndarray,
+                 ch: int, cw: int) -> Image:
+    """Per-image dynamic crop (static crop size) + bilinear resize back."""
+    b, hh, ww, c = x.shape
+
+    def one(img, t, l):
+        crop = jax.lax.dynamic_slice(img, (t, l, 0), (ch, cw, c))
+        return jax.image.resize(crop, (hh, ww, c), method="bilinear")
+
+    return jax.vmap(one)(x, top, left)
+
+
+def random_crop(x: Image, rng: jax.Array, p: float = 0.8,
+                scale: float = 2.0 / 3.0) -> Image:
+    b, hh, ww, _ = x.shape
+    ch, cw = max(int(hh * scale), 1), max(int(ww * scale), 1)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    top = jax.random.randint(r1, (b,), 0, hh - ch + 1)
+    left = jax.random.randint(r2, (b,), 0, ww - cw + 1)
+    out = _crop_resize(x, top, left, ch, cw)
+    return _blend(x, out, _gate(r3, p, b))
+
+
+def center_crop_resize(x: Image, rng: jax.Array, p: float = 1.0,
+                       scale: float = 2.0 / 3.0) -> Image:
+    """CenterCrop(2/3) + Resize back (``augmentations.py:49-50``)."""
+    b, hh, ww, _ = x.shape
+    ch, cw = max(int(hh * scale), 1), max(int(ww * scale), 1)
+    top = jnp.full((b,), (hh - ch) // 2)
+    left = jnp.full((b,), (ww - cw) // 2)
+    out = _crop_resize(x, top, left, ch, cw)
+    return _blend(x, out, _gate(rng, p, b))
+
+
+# -- filtering / noise -----------------------------------------------------
+
+def blur3(x: Image, rng: jax.Array, p: float = 0.3) -> Image:
+    """3x3 box blur (albumentations Blur normalizes blur_limit to >= 3)."""
+    kernel = jnp.ones((3, 3, 1, 1), x.dtype) / 9.0
+    blurred = jax.lax.conv_general_dilated(
+        jnp.moveaxis(x, -1, 1).reshape(-1, 1, x.shape[1], x.shape[2]),
+        jnp.transpose(kernel, (2, 3, 0, 1)),
+        window_strides=(1, 1), padding="SAME")
+    blurred = jnp.moveaxis(
+        blurred.reshape(x.shape[0], 3, x.shape[1], x.shape[2]), 1, -1)
+    return _blend(x, blurred, _gate(rng, p, x.shape[0]))
+
+
+def gauss_noise(x: Image, rng: jax.Array, p: float = 0.3,
+                var_limit: Tuple[float, float] = (50.0, 80.0)) -> Image:
+    b = x.shape[0]
+    r1, r2, r3 = jax.random.split(rng, 3)
+    var = _uniform(r1, b, var_limit[0], var_limit[1])
+    noise = jax.random.normal(r2, x.shape, x.dtype) * jnp.sqrt(var)
+    return _blend(x, jnp.clip(x + noise, 0, 255), _gate(r3, p, b))
+
+
+# -- presets ---------------------------------------------------------------
+
+Op = Callable[[Image, jax.Array], Image]
+
+
+def _compose(ops: Sequence[Op]) -> Callable[[Image, jax.Array], Image]:
+    def apply(x: Image, rng: jax.Array) -> Image:
+        keys = jax.random.split(rng, len(ops))
+        for op, key in zip(ops, keys):
+            x = op(x, key)
+        return x
+
+    return apply
+
+
+def get_aug(name: str = "default", input_shape=None):
+    """Preset name -> jittable ``fn(images, rng) -> images`` over float BGR
+    batches in 0..255 (``augmentations.py:4-55`` dispatch; unknown name ->
+    None, same as the reference's else-branch)."""
+    if name == "default":
+        return _compose([
+            functools.partial(brightness_contrast, p=0.4),
+            functools.partial(random_gamma, p=0.4),
+            functools.partial(hue_saturation_value, p=0.4),
+            functools.partial(clahe_approx, p=0.4),
+            functools.partial(blur3, p=0.3),
+            functools.partial(gauss_noise, p=0.3, var_limit=(50, 80)),
+        ])
+    if name == "plates":
+        return _compose([
+            functools.partial(brightness_contrast, p=0.4),
+            functools.partial(random_gamma, p=0.4),
+            functools.partial(hue_saturation_value, p=0.4),
+            functools.partial(clahe_approx, p=0.4),
+            functools.partial(horizontal_flip, p=0.5),
+            functools.partial(vertical_flip, p=0.5),
+            functools.partial(blur3, p=0.3),
+            functools.partial(gauss_noise, p=0.3, var_limit=(50, 80)),
+            functools.partial(random_crop, p=0.8, scale=2 / 3),
+        ])
+    if name == "deepfake":
+        return _compose([functools.partial(horizontal_flip, p=0.5)])
+    if name == "plates2":
+        return _compose([
+            functools.partial(clahe_approx, p=0.3),
+            functools.partial(horizontal_flip, p=0.5),
+            functools.partial(vertical_flip, p=0.5),
+            functools.partial(random_brightness, p=0.3),
+            functools.partial(random_contrast, p=0.3),
+            functools.partial(random_rotate90, p=0.3),
+            functools.partial(hue_saturation_value, p=0.5,
+                              hue_shift_limit=50, sat_shift_limit=15,
+                              val_shift_limit=15),
+            functools.partial(gauss_noise, p=0.3, var_limit=(10, 50)),
+            functools.partial(center_crop_resize, p=1.0, scale=2 / 3),
+        ])
+    return None

@@ -1,0 +1,364 @@
+"""The training loop: config + data -> trained embedding model.
+
+Orchestrates what ``tools/train.py:52-181`` does in the reference —
+callbacks, generators, compile, ``fit_generator`` — as an explicit host
+loop around jitted device steps. One ``Trainer`` instance handles both
+modes (triplet with in-step online mining / siamese with contrastive
+pairs), optional softmax pretraining, checkpoint/resume, and encodings
+export.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from embeddingnet_tpu.data import BatchLoader, PairSampler, PKSampler, \
+    SimpleSampler, TripletSampler
+from embeddingnet_tpu.models.registry import (EmbeddingModule, SiameseModule,
+                                              SoftmaxModule,
+                                              backbone_param_mask,
+                                              transfer_backbone_params)
+from embeddingnet_tpu.train import callbacks as cb
+from embeddingnet_tpu.train import checkpoint as ckpt
+from embeddingnet_tpu.train import optim, steps
+from embeddingnet_tpu.train.state import TrainState
+
+
+class Trainer:
+    def __init__(self, params, data_loader, log_fn: Callable = print):
+        self.params = params
+        self.data_loader = data_loader
+        self.log = log_fn
+        self.mode = params.model.mode
+        self.paths = ckpt.create_save_folders(params.general)
+
+        self.compute_dtype = (jnp.bfloat16
+                              if params.performance.compute_dtype == "bfloat16"
+                              else jnp.float32)
+        self.augment_fn = self._build_augment()
+        self._build_module()
+        self._build_optimizer()
+        self._build_steps()
+
+        self.history = cb.History()
+        self.plateau = cb.ReduceLROnPlateau(
+            monitor=self._monitor(), factor=params.train.plateau_factor,
+            patience=params.train.plateau_patience)
+        self.early_stop = cb.EarlyStopping(
+            monitor=self._monitor(),
+            patience=params.train.early_stopping_patience)
+        self.ckpt_mgr = ckpt.CheckpointManager(
+            self.paths["weights"], save_best_only=True,
+            monitor=self._monitor())
+        self.start_epoch = 0
+
+    # -- construction ------------------------------------------------------
+
+    def _monitor(self) -> str:
+        # reference: val_loss when validating else loss (train.py:73-76)
+        return "val_loss" if self.data_loader.validate else "loss"
+
+    def _build_augment(self):
+        name = self.params.generator.augmentations
+        if not name:
+            return None
+        from embeddingnet_tpu.ops.augment import get_aug
+        return get_aug(name, self.params.model.input_shape)
+
+    def _build_module(self):
+        m = self.params.model
+        rng = jax.random.PRNGKey(self.params.general.seed)
+        dummy = jnp.zeros((2,) + tuple(m.input_shape), jnp.float32)
+        if self.mode == "siamese":
+            self.module = SiameseModule(
+                backbone_name=m.backbone_name,
+                encodings_len=m.encodings_len,
+                embeddings_normalization=m.embeddings_normalization,
+                distance_type=m.distance_type, dtype=self.compute_dtype)
+            self.variables = self.module.init(
+                {"params": rng, "dropout": rng}, (dummy, dummy), train=False)
+            # the encoder view used for encodings export / eval
+            self.encoder_module = EmbeddingModule(
+                backbone_name=m.backbone_name,
+                encodings_len=m.encodings_len,
+                embeddings_normalization=m.embeddings_normalization,
+                dtype=self.compute_dtype)
+        else:
+            self.module = EmbeddingModule(
+                backbone_name=m.backbone_name,
+                encodings_len=m.encodings_len,
+                embeddings_normalization=m.embeddings_normalization,
+                dtype=self.compute_dtype)
+            self.variables = self.module.init(
+                {"params": rng, "dropout": rng}, dummy, train=False,
+                method="init_all")
+            self.encoder_module = self.module
+
+    def _build_optimizer(self):
+        t = self.params.train
+        g = self.params.generator
+        steps_per_epoch = g.n_batches
+        schedule = optim.step_decay_schedule(
+            t.learning_rate, t.decay_factor, t.step_size, steps_per_epoch)
+        base = optim.get_optimizer(t.optimizer, schedule)
+        if self.params.model.freeze_backbone:
+            mask = backbone_param_mask(self.variables["params"], True)
+            base = optim.masked(base, mask)
+        self.optimizer = optim.scaled_by_plateau(base)
+        self.state = TrainState.create(
+            self.variables, self.optimizer,
+            rng=jax.random.PRNGKey(self.params.general.seed + 1))
+
+    def _build_steps(self):
+        g = self.params.generator
+        m = self.params.model
+        reg_rules = optim.reg_rules_for(m.backbone_name)
+        donate = (0,) if self.params.performance.donate_state else ()
+        if self.mode == "siamese":
+            train_step = steps.make_siamese_train_step(
+                self.module, self.optimizer,
+                distance_type=m.distance_type,
+                augment_fn=self.augment_fn, reg_rules=reg_rules,
+                compute_dtype=self.compute_dtype)
+            eval_step = steps.make_siamese_eval_step(
+                self.module, compute_dtype=self.compute_dtype)
+        else:
+            train_step = steps.make_triplet_train_step(
+                self.module, self.optimizer, margin=g.margin,
+                mode=g.negatives_selection_mode,
+                augment_fn=self.augment_fn, reg_rules=reg_rules,
+                compute_dtype=self.compute_dtype)
+            eval_step = steps.make_triplet_eval_step(
+                self.module, margin=g.margin,
+                compute_dtype=self.compute_dtype)
+        self.train_step = jax.jit(train_step, donate_argnums=donate)
+        self.eval_step = jax.jit(eval_step)
+
+    # -- data --------------------------------------------------------------
+
+    def _train_loader(self):
+        g = self.params.generator
+        seed = self.params.general.seed
+        if self.mode == "siamese":
+            sampler = PairSampler(self.data_loader.train_data,
+                                  self.data_loader.class_names,
+                                  batch_size=g.batch_size, seed=seed)
+        else:
+            sampler = PKSampler(self.data_loader.train_data,
+                                self.data_loader.class_names,
+                                k_classes=g.k_classes,
+                                k_samples=g.k_samples, seed=seed)
+        return BatchLoader(sampler, self.params.model.input_shape,
+                           n_batches=g.n_batches)
+
+    def _val_loader(self):
+        if not self.data_loader.validate or not self.data_loader.val_data:
+            return None
+        g = self.params.generator
+        seed = self.params.general.seed + 1000
+        if self.mode == "siamese":
+            sampler = PairSampler(self.data_loader.val_data,
+                                  self.data_loader.class_names,
+                                  batch_size=g.batch_size, seed=seed)
+        else:
+            # reference validates triplet mode with offline random triplets
+            # (tools/train.py:148-150)
+            sampler = TripletSampler(self.data_loader.val_data,
+                                     self.data_loader.class_names,
+                                     batch_size=g.batch_size, seed=seed)
+        return BatchLoader(sampler, self.params.model.input_shape,
+                           n_batches=g.n_batches_val)
+
+    # -- resume ------------------------------------------------------------
+
+    def resume(self, epoch: Optional[int] = None):
+        """Restore train state + callback state (``--resume_from``,
+        ``tools/train.py:27,156-157`` — but full-state, not weights-only)."""
+        state, host = self.ckpt_mgr.restore(self.state, epoch)
+        self.state = state
+        self.start_epoch = int(host.get("epoch", 0)) + 1
+        if "plateau" in host:
+            self.plateau.load_state_dict(host["plateau"])
+        if "early_stop" in host:
+            self.early_stop.load_state_dict(host["early_stop"])
+        self.log(f"resumed from epoch {self.start_epoch - 1}")
+        return self
+
+    # -- epochs ------------------------------------------------------------
+
+    def _run_train_epoch(self) -> dict:
+        totals, count = {}, 0
+        images_seen = 0
+        t0 = time.perf_counter()
+        for batch in self._train_loader():
+            self.state, metrics = self._dispatch_train(batch)
+            count += 1
+            images_seen += self._batch_images(batch)
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        elapsed = time.perf_counter() - t0
+        out = {k: v / max(count, 1) for k, v in totals.items()}
+        out["images_per_sec"] = images_seen / max(elapsed, 1e-9)
+        return out
+
+    def _dispatch_train(self, batch):
+        images, targets = batch
+        if self.mode == "siamese":
+            (im1, im2) = images
+            return self.train_step(self.state, jnp.asarray(im1),
+                                   jnp.asarray(im2), jnp.asarray(targets))
+        return self.train_step(self.state, jnp.asarray(images),
+                               jnp.asarray(targets))
+
+    def _batch_images(self, batch) -> int:
+        images, _ = batch
+        if isinstance(images, tuple):
+            return sum(int(np.asarray(x).shape[0]) for x in images)
+        return int(np.asarray(images).shape[0])
+
+    def _run_val_epoch(self) -> dict:
+        loader = self._val_loader()
+        if loader is None:
+            return {}
+        totals, count = {}, 0
+        for batch in loader:
+            images, targets = batch
+            if self.mode == "siamese":
+                (im1, im2) = images
+                metrics = self.eval_step(self.state, jnp.asarray(im1),
+                                         jnp.asarray(im2),
+                                         jnp.asarray(targets))
+            else:
+                a, p, n = images
+                metrics = self.eval_step(self.state, jnp.asarray(a),
+                                         jnp.asarray(p), jnp.asarray(n))
+            count += 1
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        return {f"val_{k}": v / max(count, 1) for k, v in totals.items()}
+
+    def fit(self, n_epochs: Optional[int] = None) -> cb.History:
+        n_epochs = n_epochs or self.params.train.n_epochs
+        for epoch in range(self.start_epoch, n_epochs):
+            train_metrics = self._run_train_epoch()
+            val_metrics = self._run_val_epoch()
+            metrics = {**train_metrics, **val_metrics}
+            self.history.append(metrics)
+
+            scale = self.plateau.update(metrics)
+            self.state = self.state.replace(
+                opt_state=optim.set_plateau_scale(self.state.opt_state,
+                                                  scale))
+            self.ckpt_mgr.save(epoch, self.state, metrics,
+                               host_state={
+                                   "plateau": self.plateau.state_dict(),
+                                   "early_stop":
+                                       self.early_stop.state_dict()})
+            self.log(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in metrics.items()))
+            if self.early_stop.update(metrics):
+                break
+        return self.history
+
+    # -- softmax pretraining ----------------------------------------------
+
+    def pretrain_softmax(self):
+        """Softmax pretraining phase (``backbones.py:128-204``): trains a
+        SoftmaxModule sharing the backbone subtree, then transfers the
+        backbone params into the main model (``tools/train.py:164-170``)."""
+        sp = self.params.softmax
+        if sp is None:
+            return
+        m = self.params.model
+        n_classes = self.data_loader.n_classes
+        module = SoftmaxModule(backbone_name=m.backbone_name,
+                               n_classes=n_classes,
+                               encodings_len=m.encodings_len,
+                               dtype=self.compute_dtype)
+        rng = jax.random.PRNGKey(self.params.general.seed + 7)
+        dummy = jnp.zeros((2,) + tuple(m.input_shape), jnp.float32)
+        variables = module.init({"params": rng, "dropout": rng}, dummy,
+                                train=False)
+        # seed the softmax backbone from the current model backbone
+        variables = dict(variables)
+        variables["params"] = transfer_backbone_params(
+            {"backbone": self._encoder_params()["backbone"]},
+            variables["params"])
+
+        schedule = optim.step_decay_schedule(
+            sp.learning_rate, sp.decay_factor, sp.step_size,
+            sp.steps_per_epoch)
+        optimizer = optim.get_optimizer(sp.optimizer, schedule)
+        state = TrainState.create(variables, optimizer, rng=rng)
+        train_step = jax.jit(steps.make_softmax_train_step(
+            module, optimizer, n_classes=n_classes,
+            augment_fn=self.augment_fn, compute_dtype=self.compute_dtype))
+
+        sampler = SimpleSampler(self.data_loader.train_data,
+                                self.data_loader.class_names,
+                                batch_size=sp.batch_size,
+                                seed=self.params.general.seed + 11)
+        plateau = cb.ReduceLROnPlateau(monitor="loss", patience=20)
+        early = cb.EarlyStopping(monitor="loss", patience=10)
+        for epoch in range(sp.n_epochs):
+            totals, count = {}, 0
+            loader = BatchLoader(sampler, m.input_shape,
+                                 n_batches=sp.steps_per_epoch)
+            for images, labels in loader:
+                state, metrics = train_step(state, jnp.asarray(images),
+                                            jnp.asarray(labels))
+                count += 1
+                for k, v in metrics.items():
+                    totals[k] = totals.get(k, 0.0) + float(v)
+            epoch_metrics = {k: v / max(count, 1) for k, v in totals.items()}
+            plateau.update(epoch_metrics)  # tracked for logging parity
+            self.log(f"softmax-pretrain epoch {epoch}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in epoch_metrics.items()))
+            if early.update(epoch_metrics):
+                break
+
+        # hand the pretrained backbone to the embedding model
+        new_params = self._with_encoder_params(transfer_backbone_params(
+            state.params, self._encoder_params()))
+        self.state = self.state.replace(params=new_params)
+        # carry over batch stats of the shared backbone
+        if state.batch_stats:
+            bs = dict(self.state.batch_stats or {})
+            src = state.batch_stats.get("backbone")
+            if src is not None:
+                if self.mode == "siamese":
+                    enc = dict(bs.get("encoder", {}))
+                    enc["backbone"] = src
+                    bs["encoder"] = enc
+                else:
+                    bs["backbone"] = src
+            self.state = self.state.replace(batch_stats=bs)
+
+    def _encoder_params(self):
+        if self.mode == "siamese":
+            return self.state.params["encoder"]
+        return self.state.params
+
+    def _with_encoder_params(self, encoder_params):
+        if self.mode == "siamese":
+            p = dict(self.state.params)
+            p["encoder"] = encoder_params
+            return p
+        return encoder_params
+
+    # -- export ------------------------------------------------------------
+
+    def encoder_variables(self):
+        """Variables dict for the encoder view (encodings export, eval)."""
+        params = self._encoder_params()
+        v = {"params": params}
+        bs = self.state.batch_stats
+        if bs:
+            v["batch_stats"] = bs["encoder"] if (
+                self.mode == "siamese" and "encoder" in bs) else bs
+        return v

@@ -1,0 +1,111 @@
+"""Optimizer factory, LR schedules, and L2-regularization penalties.
+
+Mirrors the reference factory names (``embedding_net/utils.py:143-153``):
+``adam`` / ``rms_prop`` / ``radam`` / anything-else->``sgd`` — as optax
+transforms. The Keras per-epoch step-decay ``lr * decay^floor(epoch/step)``
+(``tools/train.py:80-81``) becomes an optax schedule over *steps* with the
+epoch length folded in; ReduceLROnPlateau stacks multiplicatively via a
+mutable scale (see callbacks).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def step_decay_schedule(initial_lr: float, decay_factor: float,
+                        step_size_epochs: int, steps_per_epoch: int):
+    """``lr * decay^floor(epoch / step_size)`` (``tools/train.py:80-81``)."""
+
+    def schedule(count):
+        epoch = count // max(steps_per_epoch, 1)
+        return initial_lr * decay_factor ** jnp.floor(
+            epoch / step_size_epochs)
+
+    return schedule
+
+
+def get_optimizer(name: str, learning_rate, **kwargs) -> optax.GradientTransformation:
+    """Name -> optax optimizer (``utils.py:143-153`` dispatch table).
+
+    ``learning_rate`` may be a float or an optax schedule. ``radam`` maps
+    to ``optax.radam`` — the rectified-Adam the reference pulls from
+    keras-radam (``utils.py:148-150``).
+    """
+    name = (name or "sgd").lower()
+    if name == "adam":
+        return optax.adam(learning_rate, **kwargs)
+    if name == "rms_prop":
+        return optax.rmsprop(learning_rate, **kwargs)
+    if name == "radam":
+        return optax.radam(learning_rate, **kwargs)
+    return optax.sgd(learning_rate, **kwargs)
+
+
+def scaled_by_plateau(opt: optax.GradientTransformation
+                      ) -> optax.GradientTransformation:
+    """Wrap an optimizer with a host-controllable LR multiplier, the
+    functional stand-in for Keras ReduceLROnPlateau's mutable ``lr``
+    (``tools/train.py:82-83``). The scale rides in the opt state and is
+    updated from the host loop via :func:`set_plateau_scale`."""
+    return optax.chain(opt, optax.inject_hyperparams(
+        lambda plateau_scale: optax.scale(plateau_scale))(plateau_scale=1.0))
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Return opt_state with the plateau LR multiplier replaced."""
+    inner = opt_state[-1]
+    new_hyper = dict(inner.hyperparams)
+    new_hyper["plateau_scale"] = jnp.asarray(scale, jnp.float32)
+    new_inner = inner._replace(hyperparams=new_hyper)
+    return opt_state[:-1] + (new_inner,)
+
+
+def get_plateau_scale(opt_state) -> float:
+    return float(opt_state[-1].hyperparams["plateau_scale"])
+
+
+def masked(opt: optax.GradientTransformation,
+           mask) -> optax.GradientTransformation:
+    """Freeze params where mask is False (freeze_backbone support,
+    ``backbones.py:106-108``)."""
+    return optax.multi_transform(
+        {"train": opt, "freeze": optax.set_to_zero()},
+        jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask))
+
+
+def l2_penalty(params, rules: Sequence[Tuple[str, float]]) -> jnp.ndarray:
+    """Keras-style kernel regularization: ``sum(coeff * sum(w^2))`` over
+    params whose path matches a rule regex (Keras ``l2(c)`` adds
+    ``c * sum(w^2)`` — no factor 1/2). Rules come from the backbone specs
+    (e.g. ``models/simple.py:SIMPLE_REG_RULES`` mirroring
+    ``backbones.py:21-36``)."""
+    if not rules:
+        return jnp.zeros((), jnp.float32)
+    compiled = [(re.compile(pat), coeff) for pat, coeff in rules]
+    total = jnp.zeros((), jnp.float32)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        for pat, coeff in compiled:
+            if pat.match(path_str):
+                total = total + coeff * jnp.sum(
+                    jnp.square(leaf.astype(jnp.float32)))
+                break
+    return total
+
+
+def reg_rules_for(backbone_name: str) -> Sequence[Tuple[str, float]]:
+    """Kernel-regularizer coefficients per backbone, from the reference
+    layer specs (zoo backbones have none — ``backbones.py:110-121``)."""
+    if backbone_name == "simple":
+        from embeddingnet_tpu.models.simple import SIMPLE_REG_RULES
+        return SIMPLE_REG_RULES
+    if backbone_name == "simple2":
+        from embeddingnet_tpu.models.simple import SIMPLE2_REG_RULES
+        return SIMPLE2_REG_RULES
+    return ()

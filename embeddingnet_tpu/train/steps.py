@@ -1,0 +1,229 @@
+"""Jitted train/eval steps — one device program per batch.
+
+The reference crosses the host<->device boundary twice per training step
+(mining predict inside the generator + ``train_on_batch``,
+``embedding_net/datagenerators.py:214`` / ``tools/train.py:172``); each
+factory here fuses normalize -> augment -> encode -> mine -> loss -> grad
+-> update into a single XLA program. Factories return pure functions
+``step(state, batch...) -> (state, metrics)`` ready for ``jax.jit`` or
+``shard_map`` over a mesh (see :mod:`embeddingnet_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from embeddingnet_tpu.models.heads import siamese_l2_distance
+from embeddingnet_tpu.ops import losses as loss_ops
+from embeddingnet_tpu.ops import mining
+from embeddingnet_tpu.train.optim import l2_penalty
+from embeddingnet_tpu.train.state import TrainState
+
+AugmentFn = Callable[[jnp.ndarray, jax.Array], jnp.ndarray]
+
+
+def _preprocess(images: jnp.ndarray, dtype, augment_fn: Optional[AugmentFn],
+                rng: jax.Array) -> jnp.ndarray:
+    """uint8 BGR batch -> augmented, /255-normalized compute-dtype batch.
+
+    Augmentation operates in 0..255 float space (albumentations semantics,
+    ``datagenerators.py:145-156``), normalization after — same order as the
+    reference.
+    """
+    x = images.astype(jnp.float32)
+    if augment_fn is not None:
+        x = augment_fn(x, rng)
+    return (x / 255.0).astype(dtype)
+
+
+def _apply_model(module, params, batch_stats, x, train: bool,
+                 dropout_rng: jax.Array, method=None):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    out, mutated = module.apply(
+        variables, x, train=train, mutable=["batch_stats"],
+        rngs={"dropout": dropout_rng}, **({"method": method} if method else {}))
+    return out, mutated.get("batch_stats", batch_stats)
+
+
+def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
+                            *, margin: float = 0.5, mode: str = "semihard",
+                            augment_fn: Optional[AugmentFn] = None,
+                            reg_rules: Sequence = (),
+                            compute_dtype=jnp.float32):
+    """Online-mining triplet step over P-K batches ``(images, labels)``.
+
+    Replaces the reference's generator->predict->sklearn->select pipeline
+    (``datagenerators.py:201-258``) with in-step mining on the *current*
+    embeddings (the reference mined on pre-step embeddings — strictly
+    staler; documented improvement).
+    """
+
+    def step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray
+             ) -> Tuple[TrainState, dict]:
+        rng, aug_rng, drop_rng, mine_rng = jax.random.split(state.rng, 4)
+
+        def loss_fn(params):
+            x = _preprocess(images, compute_dtype, augment_fn, aug_rng)
+            emb, new_stats = _apply_model(module, params, state.batch_stats,
+                                          x, True, drop_rng)
+            emb = emb.astype(jnp.float32)
+            loss, stats = mining.mined_triplet_loss(
+                emb, labels, margin=margin, mode=mode, rng=mine_rng)
+            total = loss + l2_penalty(params, reg_rules)
+            return total, (loss, stats, new_stats)
+
+        grads, (raw_loss, stats, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  batch_stats=new_stats, rng=rng,
+                                  step=state.step + 1)
+        metrics = {
+            "loss": raw_loss,
+            "n_triplets": stats.n_triplets,
+            "frac_mined": stats.frac_mined,
+            "mean_pos_dist": stats.mean_pos_dist,
+            "mean_neg_dist": stats.mean_neg_dist,
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_triplet_eval_step(module, *, margin: float = 0.5,
+                           compute_dtype=jnp.float32):
+    """Val loss on offline (a, p, n) batches — mirrors the reference using
+    ``SimpleTripletsDataGenerator`` for validation (``tools/train.py:148-150``)
+    with the per-sample squared-L2 hinge (``losses_and_accuracies.py:26-42``)."""
+
+    def step(state: TrainState, anchors, positives, negatives) -> dict:
+        def encode(imgs):
+            x = (imgs.astype(jnp.float32) / 255.0).astype(compute_dtype)
+            emb, _ = _apply_model(module, state.params, state.batch_stats,
+                                  x, False, state.rng)
+            return emb.astype(jnp.float32)
+
+        stacked = jnp.concatenate([anchors, positives, negatives], axis=0)
+        emb = encode(stacked)
+        e_a, e_p, e_n = jnp.split(emb, 3, axis=0)
+        per_sample = loss_ops.triplet_hinge(e_a, e_p, e_n, margin)
+        return {"loss": jnp.mean(per_sample)}
+
+    return step
+
+
+def make_siamese_train_step(module, optimizer: optax.GradientTransformation,
+                            *, distance_type: str = "l1",
+                            contrastive_margin: float = 1.0,
+                            augment_fn: Optional[AugmentFn] = None,
+                            reg_rules: Sequence = (),
+                            compute_dtype=jnp.float32):
+    """Siamese pair step: contrastive loss on the pair-distance output
+    (``tools/train.py:108-119``) + the 0.5-threshold pair accuracy metric
+    (``losses_and_accuracies.py:47-50``).
+
+    ``module`` must be a :class:`registry.SiameseModule` (encoder + L1
+    head) so the Dense(1,sigmoid) distance head trains jointly
+    (``models.py:217-221``).
+    """
+
+    def step(state: TrainState, images_1, images_2, targets
+             ) -> Tuple[TrainState, dict]:
+        rng, aug1, aug2, drop_rng = jax.random.split(state.rng, 4)
+
+        def loss_fn(params):
+            x1 = _preprocess(images_1, compute_dtype, augment_fn, aug1)
+            x2 = _preprocess(images_2, compute_dtype, augment_fn, aug2)
+            (d, _e1, _e2), new_stats = _apply_model(
+                module, params, state.batch_stats,
+                (x1, x2), True, drop_rng)
+            d = d.astype(jnp.float32)
+            loss = loss_ops.contrastive_loss(targets, d, contrastive_margin)
+            total = loss + l2_penalty(params, reg_rules)
+            return total, (loss, d, new_stats)
+
+        grads, (raw_loss, d, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  batch_stats=new_stats, rng=rng,
+                                  step=state.step + 1)
+        metrics = {"loss": raw_loss,
+                   "accuracy": loss_ops.accuracy(targets, d)}
+        return new_state, metrics
+
+    return step
+
+
+def make_siamese_eval_step(module, *, contrastive_margin: float = 1.0,
+                           compute_dtype=jnp.float32):
+    def step(state: TrainState, images_1, images_2, targets) -> dict:
+        x1 = (images_1.astype(jnp.float32) / 255.0).astype(compute_dtype)
+        x2 = (images_2.astype(jnp.float32) / 255.0).astype(compute_dtype)
+        (d, _e1, _e2), _ = _apply_model(module, state.params,
+                                        state.batch_stats, (x1, x2), False,
+                                        state.rng)
+        d = d.astype(jnp.float32)
+        return {"loss": loss_ops.contrastive_loss(targets, d,
+                                                  contrastive_margin),
+                "accuracy": loss_ops.accuracy(targets, d)}
+
+    return step
+
+
+def make_softmax_train_step(module, optimizer: optax.GradientTransformation,
+                            *, n_classes: int,
+                            augment_fn: Optional[AugmentFn] = None,
+                            compute_dtype=jnp.float32):
+    """Softmax-pretraining step (``embedding_net/backbones.py:128-204``):
+    categorical cross-entropy on GAP+Dense(n_classes) logits. ``module``
+    is a :class:`registry.SoftmaxModule` sharing the backbone params."""
+
+    def step(state: TrainState, images, labels) -> Tuple[TrainState, dict]:
+        rng, aug_rng, drop_rng = jax.random.split(state.rng, 3)
+        onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
+
+        def loss_fn(params):
+            x = _preprocess(images, compute_dtype, augment_fn, aug_rng)
+            logits, new_stats = _apply_model(module, params,
+                                             state.batch_stats, x, True,
+                                             drop_rng)
+            logits = logits.astype(jnp.float32)
+            loss = loss_ops.softmax_cross_entropy(logits, onehot)
+            return loss, (logits, new_stats)
+
+        grads, (logits, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  batch_stats=new_stats, rng=rng,
+                                  step=state.step + 1)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return new_state, {"loss": loss_ops.softmax_cross_entropy(
+            logits, onehot), "accuracy": acc}
+
+    return step
+
+
+def make_eval_step(module, *, compute_dtype=jnp.float32):
+    """Plain encode step for encodings export / parity checks."""
+
+    def step(state: TrainState, images) -> jnp.ndarray:
+        x = (images.astype(jnp.float32) / 255.0).astype(compute_dtype)
+        emb, _ = _apply_model(module, state.params, state.batch_stats, x,
+                              False, state.rng)
+        return emb.astype(jnp.float32)
+
+    return step

@@ -1,0 +1,112 @@
+"""CLI smoke tests: the public entry points end-to-end on a synthetic
+dataset (train -> encodings -> test-CLI predict)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIG_TEMPLATE = """
+MODEL:
+  input_shape: [32, 32, 3]
+  encodings_len: 32
+  mode: 'triplet'
+  distance_type: 'l2'
+  backbone_name: 'simple2'
+  backbone_weights: null
+  embeddings_normalization: True
+
+DATALOADER:
+  dataset_path: '{dataset}'
+  validate: True
+  val_ratio: 0.2
+
+GENERATOR:
+  negatives_selection_mode: 'semihard'
+  k_classes: 3
+  k_samples: 3
+  margin: 0.5
+  batch_size: 6
+  n_batches: 3
+  n_batches_val: 2
+
+TRAIN:
+  optimizer: 'adam'
+  learning_rate: 0.001
+  decay_factor: 0.99
+  step_size: 1
+  n_epochs: 1
+  plot_history: True
+
+ENCODINGS:
+  save_encodings: True
+  centers_only: False
+  max_num_samples_of_each_class: 5
+  knn_k: 1
+
+GENERAL:
+  project_name: 'cli_proj'
+  work_dir: '{work_dir}'
+
+PERFORMANCE:
+  compute_dtype: 'float32'
+"""
+
+
+def run(args, cwd):
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONPATH=REPO)
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=600)
+
+
+@pytest.mark.slow
+def test_train_and_test_cli(tmp_path, tiny_dataset):
+    cfg = tmp_path / "config.yml"
+    work_dir = tmp_path / "work_dirs"
+    cfg.write_text(CONFIG_TEMPLATE.format(dataset=tiny_dataset,
+                                          work_dir=work_dir))
+
+    result = run([os.path.join(REPO, "tools", "train.py"), str(cfg)],
+                 cwd=str(tmp_path))
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "epoch 0:" in result.stdout
+    assert "recall@1=" in result.stdout
+
+    enc = work_dir / "cli_proj" / "encodings" / "encodings.pkl"
+    assert enc.exists()
+    plots = list((work_dir / "cli_proj" / "plots").glob("*.png"))
+    assert plots  # history plots written
+
+    # export weights for the test CLI
+    export = run(["-c", (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from embeddingnet_tpu.config import parse_params\n"
+        "from embeddingnet_tpu.models import EmbeddingNet\n"
+        "p = parse_params(%r)\n"
+        "net = EmbeddingNet(p)\n"
+        "net.save_base_model(%r)\n") % (REPO, str(cfg), str(tmp_path))],
+        cwd=str(tmp_path))
+    assert export.returncode == 0, export.stderr[-2000:]
+
+    some_image = None
+    for root, _, files in os.walk(tiny_dataset):
+        for f in files:
+            if f.endswith(".png"):
+                some_image = os.path.join(root, f)
+                break
+        if some_image:
+            break
+
+    result = run([os.path.join(REPO, "tools", "test.py"), str(cfg),
+                  "--weights", str(tmp_path / "base_model.msgpack"),
+                  "--encodings", str(enc),
+                  "--image", some_image, "--top5"], cwd=str(tmp_path))
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "class_" in result.stdout
+    assert "top5:" in result.stdout

@@ -1,0 +1,173 @@
+"""Dataset index, sampler, and pipeline tests on synthetic datasets."""
+
+import os
+
+import numpy as np
+import pytest
+
+from embeddingnet_tpu.data import (BatchLoader, ENDataLoader, PairSampler,
+                                   PKSampler, SimpleSampler, TripletSampler)
+
+
+def test_folder_index(tiny_dataset):
+    dl = ENDataLoader(tiny_dataset, validate=True, val_ratio=0.2)
+    assert dl.n_classes == 6
+    assert sorted(dl.class_names) == [f"class_{i}" for i in range(6)]
+    for cls in dl.class_names:
+        assert dl.n_samples[cls] == 10
+        assert len(dl.train_data[cls]) == 8
+        assert len(dl.val_data[cls]) == 2
+
+
+def test_folder_index_no_validate(tiny_dataset):
+    dl = ENDataLoader(tiny_dataset, validate=False)
+    assert dl.val_data == {}
+    assert all(len(v) == 10 for v in dl.train_data.values())
+
+
+def test_split_deterministic(tiny_dataset):
+    a = ENDataLoader(tiny_dataset, val_ratio=0.2)
+    b = ENDataLoader(tiny_dataset, val_ratio=0.2)
+    assert a.train_data == b.train_data  # random_state=42 fixed split
+
+
+def test_csv_index(tiny_dataset, tmp_path):
+    rows = ["file_path,class_name"]
+    for cls in sorted(os.listdir(tiny_dataset)):
+        for f in sorted(os.listdir(os.path.join(tiny_dataset, cls))):
+            rows.append(f"{cls}/{f},{cls}")
+    csv = tmp_path / "train.csv"
+    csv.write_text("\n".join(rows))
+    dl = ENDataLoader(tiny_dataset, train_csv_file=str(csv),
+                      image_id_column="file_path", label_column="class_name",
+                      val_ratio=0.2, cache_dir=str(tmp_path / "cache"))
+    assert dl.n_classes == 6
+    some_path = dl.train_data[dl.class_names[0]][0]
+    assert os.path.isfile(some_path)
+
+
+def test_csv_cache_is_per_file(tiny_dataset, tmp_path):
+    """The reference reuses one tmp/data.pickle for every CSV
+    (datagenerators.py:63-71) — val CSV silently returned the train index.
+    Verify the fix: two different CSVs give different indexes."""
+    def write_csv(name, classes):
+        rows = ["file_path,class_name"]
+        for cls in classes:
+            for f in sorted(os.listdir(os.path.join(tiny_dataset, cls))):
+                rows.append(f"{cls}/{f},{cls}")
+        p = tmp_path / name
+        p.write_text("\n".join(rows))
+        return str(p)
+
+    cache = str(tmp_path / "cache")
+    csv_a = write_csv("a.csv", ["class_0", "class_1"])
+    csv_b = write_csv("b.csv", ["class_2", "class_3", "class_4"])
+    dl_a = ENDataLoader(tiny_dataset, train_csv_file=csv_a,
+                        image_id_column="file_path",
+                        label_column="class_name", cache_dir=cache,
+                        val_ratio=0.2)
+    dl_b = ENDataLoader(tiny_dataset, train_csv_file=csv_b,
+                        image_id_column="file_path",
+                        label_column="class_name", cache_dir=cache,
+                        val_ratio=0.2)
+    assert dl_a.n_classes == 2
+    assert dl_b.n_classes == 3
+    # second load of A hits the cache and still returns A's index
+    dl_a2 = ENDataLoader(tiny_dataset, train_csv_file=csv_a,
+                         image_id_column="file_path",
+                         label_column="class_name", cache_dir=cache,
+                         val_ratio=0.2)
+    assert dl_a2.n_classes == 2
+
+
+def test_flat_view(tiny_dataset):
+    dl = ENDataLoader(tiny_dataset, val_ratio=0.2)
+    paths, labels = dl.flat("val")
+    assert len(paths) == len(labels) == 6 * 2
+    assert set(labels) == set(dl.class_names)
+
+
+def test_pk_sampler_distribution(tiny_dataset):
+    dl = ENDataLoader(tiny_dataset, val_ratio=0.2)
+    s = PKSampler(dl.train_data, dl.class_names, k_classes=3, k_samples=4,
+                  seed=1)
+    paths, labels = s.sample()
+    assert len(paths) == 12
+    assert labels.shape == (12,)
+    # k_classes distinct classes, k_samples each
+    uniq, counts = np.unique(labels, return_counts=True)
+    assert len(uniq) == 3
+    assert (counts == 4).all()
+
+
+def test_pk_sampler_caps_k_classes(tiny_dataset):
+    dl = ENDataLoader(tiny_dataset, val_ratio=0.2)
+    s = PKSampler(dl.train_data, dl.class_names, k_classes=100, k_samples=2)
+    paths, labels = s.sample()
+    assert len(np.unique(labels)) == 6  # capped at n_classes
+
+
+def test_pair_sampler_targets(tiny_dataset):
+    dl = ENDataLoader(tiny_dataset, val_ratio=0.2)
+    s = PairSampler(dl.train_data, dl.class_names, batch_size=8, seed=2)
+    (left, right), targets = s.sample()
+    assert len(left) == len(right) == 8
+    np.testing.assert_array_equal(targets[:4], 1.0)
+    np.testing.assert_array_equal(targets[4:], 0.0)
+
+
+def test_triplet_sampler(tiny_dataset):
+    dl = ENDataLoader(tiny_dataset, val_ratio=0.2)
+    s = TripletSampler(dl.train_data, dl.class_names, batch_size=6, seed=3)
+    (a, p, n), labels = s.sample()
+    assert len(a) == len(p) == len(n) == 6
+    for ai, pi, ni in zip(a, p, n):
+        cls_a = os.path.basename(os.path.dirname(ai))
+        cls_p = os.path.basename(os.path.dirname(pi))
+        cls_n = os.path.basename(os.path.dirname(ni))
+        assert cls_a == cls_p
+        assert cls_a != cls_n
+
+
+def test_batch_loader_decodes(tiny_dataset):
+    dl = ENDataLoader(tiny_dataset, val_ratio=0.2)
+    s = PKSampler(dl.train_data, dl.class_names, k_classes=2, k_samples=3)
+    loader = BatchLoader(s, input_shape=(16, 16, 3), num_workers=2,
+                         n_batches=3)
+    batches = list(loader)
+    assert len(batches) == 3
+    images, labels = batches[0]
+    assert images.shape == (6, 16, 16, 3)
+    assert images.dtype == np.uint8
+    assert labels.shape == (6,)
+
+
+def test_batch_loader_tuple_structure(tiny_dataset):
+    dl = ENDataLoader(tiny_dataset, val_ratio=0.2)
+    s = PairSampler(dl.train_data, dl.class_names, batch_size=4)
+    loader = BatchLoader(s, input_shape=(16, 16, 3), num_workers=2,
+                         n_batches=2)
+    (imgs, targets) = next(iter(loader))
+    assert isinstance(imgs, tuple) and len(imgs) == 2
+    assert imgs[0].shape == (4, 16, 16, 3)
+
+
+def test_missing_image_dropped(tmp_path):
+    from embeddingnet_tpu.data.images import get_images
+    import cv2
+    p = tmp_path / "ok.png"
+    cv2.imwrite(str(p), np.zeros((8, 8, 3), np.uint8))
+    imgs = get_images([str(p), str(tmp_path / "missing.png")], (8, 8, 3))
+    assert imgs.shape == (1, 8, 8, 3)
+
+
+def test_bgr_channel_order(tmp_path):
+    """cv2.imread returns BGR — parity-critical (utils.py:13-21)."""
+    import cv2
+    from embeddingnet_tpu.data.images import get_image
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[..., 2] = 255  # red channel in BGR write order
+    cv2.imwrite(str(tmp_path / "red.png"), img)
+    loaded = get_image(str(tmp_path / "red.png"))
+    assert loaded[..., 2].min() == 255  # stays BGR: red in channel 2
+    assert loaded[..., 0].max() == 0

@@ -1,0 +1,132 @@
+"""Backbone zoo shape/semantics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from embeddingnet_tpu.models import EmbeddingModule, get_backbone
+from embeddingnet_tpu.models.registry import backbone_param_mask
+
+
+def init_module(name, input_shape=(96, 96, 3), encodings_len=64, **kw):
+    mod = EmbeddingModule(backbone_name=name, encodings_len=encodings_len,
+                          **kw)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2,) + input_shape, jnp.float32)
+    variables = mod.init({"params": rng, "dropout": rng}, x, train=False,
+                         method="init_all")
+    return mod, variables, x
+
+
+@pytest.mark.parametrize("name,input_shape", [
+    ("simple", (96, 96, 3)),
+    ("simple2", (48, 48, 3)),
+    ("resnet18", (64, 64, 3)),
+    ("resnet50", (64, 64, 3)),
+    ("efficientnet-b0", (64, 64, 3)),
+])
+def test_backbone_embedding_shape(name, input_shape):
+    mod, variables, x = init_module(name, input_shape)
+    emb = mod.apply(variables, x, train=False,
+                    mutable=False if "batch_stats" not in variables else [])
+    if isinstance(emb, tuple):
+        emb = emb[0]
+    assert emb.shape == (2, 64)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_l2_normalization_on_and_off():
+    for norm, expect_unit in [(True, True), (False, False)]:
+        mod = EmbeddingModule(backbone_name="simple", encodings_len=32,
+                              embeddings_normalization=norm)
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.uniform(rng, (4, 96, 96, 3))
+        variables = mod.init({"params": rng}, x)
+        emb = np.asarray(mod.apply(variables, x))
+        norms = np.linalg.norm(emb, axis=1)
+        if expect_unit:
+            np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+        else:
+            assert not np.allclose(norms, 1.0, atol=1e-3)
+
+
+def test_features_path_simple():
+    """features() == the reference backbone_model output (pre-head)."""
+    mod, variables, x = init_module("simple")
+    feats = mod.apply(variables, x, method="features")
+    assert feats.ndim == 2  # flatten output (backbones.py:32-34)
+    emb = mod.apply(variables, x)
+    assert emb.shape[-1] == 64
+
+
+def test_features_path_zoo():
+    mod, variables, x = init_module("resnet18", (64, 64, 3))
+    feats = mod.apply(variables, x, method="features")
+    assert feats.ndim == 4  # conv feature map
+    assert feats.shape[1] == 64 // 32
+
+
+def test_classify_head():
+    mod, variables, x = init_module("simple")
+    out = mod.apply(variables, x, method="classify")
+    out = np.asarray(out)
+    assert out.shape == (2, 1)
+    assert ((out >= 0) & (out <= 1)).all()  # sigmoid (models.py:44)
+
+
+def test_batchnorm_mutable_stats():
+    mod, variables, x = init_module("simple2", (48, 48, 3))
+    assert "batch_stats" in variables
+    emb, updates = mod.apply(variables, x, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+    assert "batch_stats" in updates
+
+
+def test_dropout_is_stochastic_in_train():
+    mod, variables, x = init_module("simple2", (48, 48, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 48, 48, 3))
+    e1, _ = mod.apply(variables, x, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    e2, _ = mod.apply(variables, x, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(e1), np.asarray(e2))
+    # eval mode is deterministic
+    e3 = mod.apply(variables, x, train=False)
+    e4 = mod.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(e3), np.asarray(e4))
+
+
+def test_get_backbone_factory():
+    module, variables = get_backbone((96, 96, 3), encodings_len=32,
+                                     backbone_name="simple",
+                                     backbone_weights=None)
+    emb = module.apply(variables, jnp.zeros((1, 96, 96, 3)))
+    assert emb.shape == (1, 32)
+
+
+def test_unknown_backbone_raises():
+    with pytest.raises(ValueError, match="unknown backbone"):
+        init_module("resnext-9000")
+
+
+def test_freeze_backbone_mask():
+    mod, variables, x = init_module("resnet18", (64, 64, 3))
+    mask = backbone_param_mask(variables["params"], freeze_backbone=True)
+    leaves = jax.tree_util.tree_leaves_with_path(mask)
+    frozen = [v for p, v in leaves
+              if any(getattr(k, "key", None) == "backbone" for k in p)]
+    trainable = [v for p, v in leaves
+                 if not any(getattr(k, "key", None) == "backbone" for k in p)]
+    assert frozen and not any(frozen)
+    assert trainable and all(trainable)
+    mask_off = backbone_param_mask(variables["params"], freeze_backbone=False)
+    assert all(jax.tree_util.tree_leaves(mask_off))
+
+
+def test_jit_embedding_forward():
+    mod, variables, x = init_module("simple")
+    f = jax.jit(lambda v, x: mod.apply(v, x))
+    e = f(variables, x)
+    assert e.shape == (2, 64)

@@ -1,0 +1,169 @@
+"""End-to-end integration: config -> loader -> train -> checkpoint ->
+resume -> encodings -> kNN (the minimum slice of SURVEY.md §7)."""
+
+import numpy as np
+import pytest
+
+from embeddingnet_tpu.config import params_from_dict
+from embeddingnet_tpu.data import ENDataLoader
+from embeddingnet_tpu.models import EmbeddingNet
+from embeddingnet_tpu.train import Trainer
+
+
+def make_params(tmp_path, dataset, mode="triplet", backbone="simple2",
+                extra_model=None, extra_gen=None, n_epochs=2):
+    cfg = {
+        "MODEL": {
+            "input_shape": [32, 32, 3],
+            "encodings_len": 32,
+            "mode": mode,
+            "distance_type": "l2",
+            "backbone_name": backbone,
+            "backbone_weights": None,
+            "embeddings_normalization": True,
+            **(extra_model or {}),
+        },
+        "DATALOADER": {"dataset_path": dataset, "validate": True,
+                       "val_ratio": 0.2},
+        "GENERATOR": {"negatives_selection_mode": "semihard", "k_classes": 3,
+                      "k_samples": 3, "margin": 0.5, "batch_size": 6,
+                      "n_batches": 4, "n_batches_val": 2,
+                      **(extra_gen or {})},
+        "TRAIN": {"optimizer": "adam", "learning_rate": 0.001,
+                  "decay_factor": 0.99, "step_size": 1,
+                  "n_epochs": n_epochs, "plot_history": False},
+        "ENCODINGS": {"save_encodings": True,
+                      "max_num_samples_of_each_class": 5, "knn_k": 1},
+        "GENERAL": {"project_name": "test_proj",
+                    "work_dir": str(tmp_path / "work_dirs"), "seed": 0},
+        "PERFORMANCE": {"compute_dtype": "float32"},
+    }
+    return params_from_dict(cfg)
+
+
+@pytest.fixture
+def loader(tiny_dataset):
+    return ENDataLoader(tiny_dataset, validate=True, val_ratio=0.2)
+
+
+def test_triplet_end_to_end(tmp_path, tiny_dataset, loader):
+    params = make_params(tmp_path, tiny_dataset)
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    history = trainer.fit()
+    assert "loss" in history.history
+    assert "val_loss" in history.history
+    assert len(history.history["loss"]) == 2
+    assert np.isfinite(history.history["loss"]).all()
+    assert history.history["images_per_sec"][-1] > 0
+    # checkpoint written
+    assert trainer.ckpt_mgr.latest_epoch() is not None
+
+
+def test_triplet_resume(tmp_path, tiny_dataset, loader):
+    params = make_params(tmp_path, tiny_dataset)
+    t1 = Trainer(params, loader, log_fn=lambda *a: None)
+    t1.fit(n_epochs=1)
+    step_before = int(t1.state.step)
+    t1.ckpt_mgr.close()
+
+    t2 = Trainer(params, loader, log_fn=lambda *a: None).resume()
+    assert int(t2.state.step) == step_before
+    assert t2.start_epoch == 1
+    t2.fit(n_epochs=2)
+    assert int(t2.state.step) > step_before
+
+
+@pytest.mark.parametrize("mining", ["hardest", "batch_hard", "batch_all"])
+def test_other_mining_modes_train(tmp_path, tiny_dataset, loader, mining):
+    params = make_params(tmp_path, tiny_dataset,
+                         extra_gen={"negatives_selection_mode": mining})
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    history = trainer.fit(n_epochs=1)
+    assert np.isfinite(history.history["loss"]).all()
+
+
+@pytest.mark.parametrize("distance_type", ["l1", "l2"])
+def test_siamese_end_to_end(tmp_path, tiny_dataset, loader, distance_type):
+    params = make_params(tmp_path, tiny_dataset, mode="siamese",
+                         extra_model={"distance_type": distance_type})
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    history = trainer.fit(n_epochs=1)
+    assert np.isfinite(history.history["loss"]).all()
+    assert "accuracy" in history.history
+    assert "val_accuracy" in history.history
+
+
+def test_augmented_training(tmp_path, tiny_dataset, loader):
+    params = make_params(tmp_path, tiny_dataset,
+                         extra_gen={"augmentations": "deepfake"})
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    assert trainer.augment_fn is not None
+    history = trainer.fit(n_epochs=1)
+    assert np.isfinite(history.history["loss"]).all()
+
+
+def test_encodings_export_and_knn(tmp_path, tiny_dataset, loader):
+    params = make_params(tmp_path, tiny_dataset)
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    trainer.fit(n_epochs=1)
+
+    net = EmbeddingNet(params)
+    net.variables = trainer.encoder_variables()
+    net._encode_jit = None
+    import jax
+    net._encode_jit = jax.jit(
+        lambda v, x: net.module.apply(v, x, train=False))
+
+    db = net.generate_encodings(loader, max_n_samples=5)
+    assert set(db) == {"paths", "labels", "encodings"}
+    assert db["encodings"].shape[1] == 32
+    # save/load round trip (pickle contract, models.py:86-90)
+    net.save_encodings(db, str(tmp_path), "enc.pkl")
+    net2 = EmbeddingNet(params)
+    loaded = net2.load_encodings(str(tmp_path / "enc.pkl"))
+    np.testing.assert_array_equal(loaded["encodings"], db["encodings"])
+
+    # kNN prediction on a training image returns a known class
+    some_path = db["paths"][0]
+    pred = net.predict_knn(some_path)
+    assert pred in loader.class_names
+    pred1, top5 = net.predict_knn(some_path, with_top5=True)
+    assert len(top5) == 5
+    # nearest-neighbor predict path (fixes models.py:123)
+    pred_nn = net.predict(some_path)
+    assert pred_nn in loader.class_names
+
+    acc = net.calculate_prediction_accuracy(loader)
+    assert 0.0 <= acc["top1"] <= 1.0
+    assert acc["top5"] >= acc["top1"]
+
+
+def test_softmax_pretraining_runs(tmp_path, tiny_dataset, loader):
+    params = make_params(tmp_path, tiny_dataset)
+    from embeddingnet_tpu.config import SoftmaxPretrainConfig
+    params.softmax = SoftmaxPretrainConfig(
+        optimizer="adam", learning_rate=0.001, n_epochs=1, batch_size=4,
+        steps_per_epoch=2, val_steps=1, input_shape=params.model.input_shape)
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    before = trainer._encoder_params()["backbone"]
+    import jax
+    before_flat = jax.tree_util.tree_leaves(before)[0].copy()
+    trainer.pretrain_softmax()
+    after_flat = jax.tree_util.tree_leaves(
+        trainer._encoder_params()["backbone"])[0]
+    assert not np.allclose(np.asarray(before_flat), np.asarray(after_flat))
+    # and the main phase still trains afterwards
+    history = trainer.fit(n_epochs=1)
+    assert np.isfinite(history.history["loss"]).all()
+
+
+def test_model_save_load_roundtrip(tmp_path, tiny_dataset, loader):
+    params = make_params(tmp_path, tiny_dataset)
+    net = EmbeddingNet(params)
+    img = np.zeros((1, 32, 32, 3), np.uint8)
+    emb_before = net.encode(img)
+    path = net.save_base_model(str(tmp_path / "saved"))
+    net2 = EmbeddingNet(params)
+    net2.load_model(path)
+    emb_after = net2.encode(img)
+    np.testing.assert_allclose(emb_before, emb_after, atol=1e-6)
