@@ -57,7 +57,7 @@ class _SectionBase:
         return dataclasses.asdict(self)
 
 
-_VALID_MODES = ("triplet", "siamese")
+_VALID_MODES = ("triplet", "siamese", "arcface")
 _VALID_DISTANCES = ("l1", "l2")
 _VALID_MINING = ("semihard", "hardest", "random_hard", "batch_all", "batch_hard")
 _VALID_OPTIMIZERS = ("adam", "rms_prop", "radam", "sgd")

@@ -1,0 +1,138 @@
+"""Pretrained-weight loading and Keras->Flax conversion.
+
+The reference pulls 'imagenet'/'noisy-student' weights over the network at
+model build (``embedding_net/backbones.py:96-104``). This framework does
+no downloads: ``backbone_weights`` takes a *local* file —
+
+* ``.msgpack`` — this framework's own serialized variables;
+* ``.npz``     — a flat ``{path/to/param: array}`` archive (the exchange
+  format produced by the converters below);
+* ``.h5``      — a Keras weights file, converted through the matching
+  ``keras_*_to_flax`` converter when TensorFlow is importable.
+
+Converters (usable offline against randomly initialized Keras models —
+that is how the parity tests validate the mapping):
+
+* :func:`keras_simple_to_flax` — the reference's hand-built ``simple``
+  backbone (``backbones.py:19-41``), exact layer-for-layer port;
+* :func:`keras_resnet50_to_flax` — tf.keras.applications ResNet50
+  (``include_top=False``) into :class:`models.resnet.ResNet` built with
+  ``stride_in_3x3=False, use_bias=True`` (the keras conv placement).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def load_into(variables, weights_path: str):
+    """Load a local weights file into an initialized variables tree."""
+    if weights_path.endswith(".msgpack"):
+        from flax import serialization
+        with open(weights_path, "rb") as f:
+            return serialization.from_bytes(variables, f.read())
+    if weights_path.endswith(".npz"):
+        flat = dict(np.load(weights_path))
+        return _unflatten_into(variables, flat)
+    raise ValueError(
+        f"unsupported weights file {weights_path!r} (.msgpack or .npz; "
+        f".h5 files go through the keras_*_to_flax converters)")
+
+
+def _unflatten_into(variables, flat: Dict[str, np.ndarray]):
+    import jax
+
+    def path_str(path):
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    def replace(path, leaf):
+        key = path_str(path)
+        if key in flat:
+            arr = np.asarray(flat[key])
+            if arr.shape != leaf.shape:
+                raise ValueError(
+                    f"shape mismatch for {key}: file {arr.shape} vs "
+                    f"model {leaf.shape}")
+            return arr.astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(replace, variables)
+
+
+def flatten_params(variables) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_unflatten_into` — for writing ``.npz`` archives."""
+    import jax
+    flat = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(variables):
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+# -- Keras converters ------------------------------------------------------
+
+def keras_simple_to_flax(keras_model, encodings_len: int) -> Dict[str, Any]:
+    """Reference ``simple`` base_model (``backbones.py:19-41``) -> params
+    for :class:`models.simple.SimpleCNN` (both use HWIO conv kernels and
+    row-major NHWC flatten, so arrays transfer unchanged)."""
+    convs = [l for l in keras_model.layers
+             if l.__class__.__name__ == "Conv2D"]
+    denses = [l for l in keras_model.layers
+              if l.__class__.__name__ == "Dense"]
+    assert len(convs) == 4, f"expected 4 convs, got {len(convs)}"
+    assert len(denses) == 1
+    params: Dict[str, Any] = {}
+    for i, conv in enumerate(convs, 1):
+        k, b = conv.get_weights()
+        params[f"conv_{i}"] = {"kernel": k, "bias": b}
+    k, b = denses[0].get_weights()
+    assert k.shape[1] == encodings_len
+    params["embedding_dense"] = {"kernel": k, "bias": b}
+    return params
+
+
+def _bn_params(layer):
+    gamma, beta, mean, var = layer.get_weights()
+    return ({"scale": gamma, "bias": beta},
+            {"mean": mean, "var": var})
+
+
+def keras_resnet50_to_flax(keras_model):
+    """tf.keras.applications.ResNet50(include_top=False) -> (params,
+    batch_stats) for ``resnet.resnet50(stride_in_3x3=False, use_bias=True)``.
+
+    Layer-name mapping: keras ``conv{s}_block{b}_{i}_conv`` (i=0 shortcut,
+    1..3 main path) -> flax ``stage{s-1}_block{b}/conv{i}`` /
+    ``downsample_conv``; BNs likewise.
+    """
+    layers = {l.name: l for l in keras_model.layers}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_w(name):
+        w = layers[name].get_weights()
+        return ({"kernel": w[0], "bias": w[1]} if len(w) == 2
+                else {"kernel": w[0]})
+
+    params["stem_conv"] = conv_w("conv1_conv")
+    params["stem_bn"], stats["stem_bn"] = _bn_params(layers["conv1_bn"])
+
+    stage_blocks = [3, 4, 6, 3]
+    for s, n_blocks in enumerate(stage_blocks, start=2):
+        for b in range(1, n_blocks + 1):
+            fb: Dict[str, Any] = {}
+            sb: Dict[str, Any] = {}
+            for i in (1, 2, 3):
+                fb[f"conv{i}"] = conv_w(f"conv{s}_block{b}_{i}_conv")
+                fb[f"bn{i}"], sb[f"bn{i}"] = _bn_params(
+                    layers[f"conv{s}_block{b}_{i}_bn"])
+            if f"conv{s}_block{b}_0_conv" in layers:
+                fb["downsample_conv"] = conv_w(f"conv{s}_block{b}_0_conv")
+                fb["downsample_bn"], sb["downsample_bn"] = _bn_params(
+                    layers[f"conv{s}_block{b}_0_bn"])
+            key = f"stage{s - 1}_block{b}"
+            params[key] = fb
+            stats[key] = sb
+    return params, stats

@@ -182,6 +182,32 @@ class SoftmaxModule(nn.Module):
         return self.softmax_head(feats)
 
 
+class ArcFaceModule(nn.Module):
+    """Encoder + learned per-class weight matrix for the ArcFace margin
+    loss (stretch mode; ``ops.losses.arcface_loss``). Returns
+    ``(embeddings, class_weights)``; the encoder subtree matches
+    :class:`EmbeddingModule` so encodings export reuses it."""
+
+    backbone_name: str = "vit-b16"
+    encodings_len: int = 512
+    n_classes: int = 1000
+    embeddings_normalization: bool = False
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        self.encoder = EmbeddingModule(
+            backbone_name=self.backbone_name,
+            encodings_len=self.encodings_len,
+            embeddings_normalization=self.embeddings_normalization,
+            dtype=self.dtype)
+        self.class_weights = self.param(
+            "class_weights", nn.initializers.normal(0.01),
+            (self.n_classes, self.encodings_len))
+
+    def __call__(self, x, train: bool = False):
+        return self.encoder(x, train=train), self.class_weights
+
+
 def transfer_backbone_params(softmax_params, embedding_params):
     """Copy the trained ``backbone`` subtree from a SoftmaxModule param
     tree into an EmbeddingModule param tree (pretraining handoff)."""

@@ -33,23 +33,24 @@ class BasicBlock(nn.Module):
     filters: int
     strides: tuple = (1, 1)
     norm: Callable = nn.BatchNorm
+    use_bias: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = nn.Conv(self.filters, (3, 3), self.strides, padding="SAME",
-                    use_bias=False, kernel_init=he_normal(),
+                    use_bias=self.use_bias, kernel_init=he_normal(),
                     dtype=self.dtype, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=self.use_bias,
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv2")(y)
         y = self.norm(name="bn2")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.filters, (1, 1), self.strides,
-                               use_bias=False, kernel_init=he_normal(),
+                               use_bias=self.use_bias, kernel_init=he_normal(),
                                dtype=self.dtype, name="downsample_conv")(x)
             residual = self.norm(name="downsample_bn")(residual)
         return nn.relu(residual + y)
@@ -62,6 +63,7 @@ class BottleneckBlock(nn.Module):
     strides: tuple = (1, 1)
     norm: Callable = nn.BatchNorm
     stride_in_3x3: bool = True
+    use_bias: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -69,23 +71,23 @@ class BottleneckBlock(nn.Module):
         residual = x
         s1 = (1, 1) if self.stride_in_3x3 else self.strides
         s3 = self.strides if self.stride_in_3x3 else (1, 1)
-        y = nn.Conv(self.filters, (1, 1), s1, use_bias=False,
+        y = nn.Conv(self.filters, (1, 1), s1, use_bias=self.use_bias,
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), s3, padding="SAME", use_bias=False,
+        y = nn.Conv(self.filters, (3, 3), s3, padding="SAME", use_bias=self.use_bias,
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=self.use_bias,
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv3")(y)
         y = self.norm(name="bn3")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.filters * 4, (1, 1), self.strides,
-                               use_bias=False, kernel_init=he_normal(),
+                               use_bias=self.use_bias, kernel_init=he_normal(),
                                dtype=self.dtype, name="downsample_conv")(x)
             residual = self.norm(name="downsample_bn")(residual)
         return nn.relu(residual + y)
@@ -98,6 +100,7 @@ class ResNet(nn.Module):
     block_cls: Any
     num_filters: int = 64
     stride_in_3x3: bool = True
+    use_bias: bool = False  # True for keras.applications weight ports
     bn_epsilon: float = 1.001e-5  # keras.applications resnet epsilon
     dtype: Optional[Dtype] = None
 
@@ -107,7 +110,7 @@ class ResNet(nn.Module):
                        momentum=0.99, epsilon=self.bn_epsilon,
                        dtype=self.dtype)
         x = nn.Conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=he_normal(),
+                    use_bias=self.use_bias, kernel_init=he_normal(),
                     dtype=self.dtype, name="stem_conv")(x)
         x = norm(name="stem_bn")(x)
         x = nn.relu(x)
@@ -117,6 +120,7 @@ class ResNet(nn.Module):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
                 kwargs = dict(filters=self.num_filters * 2 ** i,
                               strides=strides, norm=norm, dtype=self.dtype,
+                              use_bias=self.use_bias,
                               name=f"stage{i + 1}_block{j + 1}")
                 if self.block_cls is BottleneckBlock:
                     kwargs["stride_in_3x3"] = self.stride_in_3x3

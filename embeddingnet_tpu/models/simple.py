@@ -67,6 +67,7 @@ class SimpleCNN(nn.Module):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = nn.Conv(256, (4, 4), padding="VALID", kernel_init=glorot(),
                     dtype=self.dtype, name="conv_4")(x)
+        x = nn.relu(x)
         x = x.reshape((x.shape[0], -1))  # Flatten (NHWC row-major == Keras)
         if return_features:
             return x

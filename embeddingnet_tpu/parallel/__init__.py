@@ -1,0 +1,13 @@
+"""Parallelism: device mesh, sharded train steps, distributed mining.
+
+The reference's only strategy is single-host mirrored data parallel
+(``tools/train.py:121-140``). Here scaling is a ``jax.sharding.Mesh``:
+batch (and the B x B pairwise-distance matrix) sharded over the ``data``
+axis, params replicated (or sharded over ``model`` for very large heads),
+with XLA inserting all-gather/psum over ICI — no NCCL-style user code.
+"""
+
+from embeddingnet_tpu.parallel.mesh import (  # noqa: F401
+    build_mesh, batch_sharding, replicated)
+from embeddingnet_tpu.parallel.sharded import (  # noqa: F401
+    shard_train_step, sharded_batch_all_loss)

@@ -1,0 +1,41 @@
+"""Device-mesh construction from the MESH config section.
+
+``MESH.data = -1`` -> all devices on the data axis (pure DP, the
+reference-parity strategy scaled the TPU way); ``MESH.model > 1`` reserves
+an inner axis for parameter sharding of very large embedding heads.
+Multi-host: callers run ``jax.distributed.initialize`` before building the
+mesh — device enumeration is global, shardings below are host-agnostic,
+DCN handles the cross-host legs of the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(data: int = -1, model: int = 1,
+               devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    arr = np.array(devices[:data * model]).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis over ``data``, everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -19,8 +19,8 @@ import numpy as np
 
 from embeddingnet_tpu.data import BatchLoader, PairSampler, PKSampler, \
     SimpleSampler, TripletSampler
-from embeddingnet_tpu.models.registry import (EmbeddingModule, SiameseModule,
-                                              SoftmaxModule,
+from embeddingnet_tpu.models.registry import (ArcFaceModule, EmbeddingModule,
+                                              SiameseModule, SoftmaxModule,
                                               backbone_param_mask,
                                               transfer_backbone_params)
 from embeddingnet_tpu.train import callbacks as cb
@@ -57,10 +57,19 @@ class Trainer:
             monitor=self._monitor())
         self.start_epoch = 0
 
+        from embeddingnet_tpu.utils.logging import MetricsLogger
+        self.metrics_logger = MetricsLogger(
+            self.paths["tensorboard"],
+            tensorboard=params.general.tensorboard_callback,
+            wandb_enabled=params.general.wandb_callback)
+
     # -- construction ------------------------------------------------------
 
     def _monitor(self) -> str:
-        # reference: val_loss when validating else loss (train.py:73-76)
+        # reference: val_loss when validating else loss (train.py:73-76);
+        # arcface has no pair/triplet val generator -> monitor train loss
+        if self.mode == "arcface":
+            return "loss"
         return "val_loss" if self.data_loader.validate else "loss"
 
     def _build_augment(self):
@@ -87,6 +96,20 @@ class Trainer:
                 backbone_name=m.backbone_name,
                 encodings_len=m.encodings_len,
                 embeddings_normalization=m.embeddings_normalization,
+                dtype=self.compute_dtype)
+        elif self.mode == "arcface":
+            self.module = ArcFaceModule(
+                backbone_name=m.backbone_name,
+                encodings_len=m.encodings_len,
+                n_classes=self.data_loader.n_classes,
+                embeddings_normalization=False,
+                dtype=self.compute_dtype)
+            self.variables = self.module.init(
+                {"params": rng, "dropout": rng}, dummy, train=False)
+            self.encoder_module = EmbeddingModule(
+                backbone_name=m.backbone_name,
+                encodings_len=m.encodings_len,
+                embeddings_normalization=False,
                 dtype=self.compute_dtype)
         else:
             self.module = EmbeddingModule(
@@ -127,17 +150,25 @@ class Trainer:
                 compute_dtype=self.compute_dtype)
             eval_step = steps.make_siamese_eval_step(
                 self.module, compute_dtype=self.compute_dtype)
+        elif self.mode == "arcface":
+            train_step = steps.make_arcface_train_step(
+                self.module, self.optimizer,
+                n_classes=self.data_loader.n_classes, margin=g.margin,
+                augment_fn=self.augment_fn,
+                compute_dtype=self.compute_dtype)
+            eval_step = None
         else:
             train_step = steps.make_triplet_train_step(
                 self.module, self.optimizer, margin=g.margin,
                 mode=g.negatives_selection_mode,
                 augment_fn=self.augment_fn, reg_rules=reg_rules,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                use_pallas=self.params.performance.use_pallas_mining)
             eval_step = steps.make_triplet_eval_step(
                 self.module, margin=g.margin,
                 compute_dtype=self.compute_dtype)
         self.train_step = jax.jit(train_step, donate_argnums=donate)
-        self.eval_step = jax.jit(eval_step)
+        self.eval_step = jax.jit(eval_step) if eval_step is not None else None
 
     # -- data --------------------------------------------------------------
 
@@ -148,6 +179,10 @@ class Trainer:
             sampler = PairSampler(self.data_loader.train_data,
                                   self.data_loader.class_names,
                                   batch_size=g.batch_size, seed=seed)
+        elif self.mode == "arcface":
+            sampler = SimpleSampler(self.data_loader.train_data,
+                                    self.data_loader.class_names,
+                                    batch_size=g.batch_size, seed=seed)
         else:
             sampler = PKSampler(self.data_loader.train_data,
                                 self.data_loader.class_names,
@@ -157,6 +192,8 @@ class Trainer:
                            n_batches=g.n_batches)
 
     def _val_loader(self):
+        if self.mode == "arcface":
+            return None
         if not self.data_loader.validate or not self.data_loader.val_data:
             return None
         g = self.params.generator
@@ -243,12 +280,21 @@ class Trainer:
         return {f"val_{k}": v / max(count, 1) for k, v in totals.items()}
 
     def fit(self, n_epochs: Optional[int] = None) -> cb.History:
+        import os as _os
         n_epochs = n_epochs or self.params.train.n_epochs
+        profile_dir = _os.environ.get("EMBEDDINGNET_PROFILE")
         for epoch in range(self.start_epoch, n_epochs):
+            if profile_dir and epoch == self.start_epoch:
+                # jax.profiler trace of the first epoch -> TensorBoard /
+                # Perfetto (SURVEY.md §5 tracing subsystem)
+                jax.profiler.start_trace(profile_dir)
             train_metrics = self._run_train_epoch()
+            if profile_dir and epoch == self.start_epoch:
+                jax.profiler.stop_trace()
             val_metrics = self._run_val_epoch()
             metrics = {**train_metrics, **val_metrics}
             self.history.append(metrics)
+            self.metrics_logger.log(epoch, metrics)
 
             scale = self.plateau.update(metrics)
             self.state = self.state.replace(
@@ -340,7 +386,7 @@ class Trainer:
             self.state = self.state.replace(batch_stats=bs)
 
     def _encoder_params(self):
-        if self.mode == "siamese":
+        if self.mode in ("siamese", "arcface"):
             return self.state.params["encoder"]
         return self.state.params
 
@@ -360,5 +406,6 @@ class Trainer:
         bs = self.state.batch_stats
         if bs:
             v["batch_stats"] = bs["encoder"] if (
-                self.mode == "siamese" and "encoder" in bs) else bs
+                self.mode in ("siamese", "arcface") and "encoder" in bs) \
+                else bs
         return v

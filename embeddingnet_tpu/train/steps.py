@@ -55,14 +55,31 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
                             *, margin: float = 0.5, mode: str = "semihard",
                             augment_fn: Optional[AugmentFn] = None,
                             reg_rules: Sequence = (),
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32,
+                            use_pallas: bool = False):
     """Online-mining triplet step over P-K batches ``(images, labels)``.
 
     Replaces the reference's generator->predict->sklearn->select pipeline
     (``datagenerators.py:201-258``) with in-step mining on the *current*
     embeddings (the reference mined on pre-step embeddings — strictly
-    staler; documented improvement).
+    staler; documented improvement). ``use_pallas`` routes ``batch_hard``
+    through the fused Pallas distance+mining kernel
+    (:mod:`embeddingnet_tpu.ops.pallas.mining_kernel`).
     """
+
+    def _mine(emb, labels, mine_rng):
+        if use_pallas and mode == "batch_hard":
+            from embeddingnet_tpu.ops.pallas import pallas_batch_hard_loss
+            loss = pallas_batch_hard_loss(emb, labels, margin=margin)
+            # stats via the cheap O(B) pieces only
+            stats = mining.MiningStats(
+                n_triplets=jnp.zeros((), jnp.int32),
+                n_candidates=jnp.zeros((), jnp.int32),
+                frac_mined=jnp.zeros(()), mean_pos_dist=jnp.zeros(()),
+                mean_neg_dist=jnp.zeros(()))
+            return loss, stats
+        return mining.mined_triplet_loss(emb, labels, margin=margin,
+                                         mode=mode, rng=mine_rng)
 
     def step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray
              ) -> Tuple[TrainState, dict]:
@@ -73,8 +90,7 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
             emb, new_stats = _apply_model(module, params, state.batch_stats,
                                           x, True, drop_rng)
             emb = emb.astype(jnp.float32)
-            loss, stats = mining.mined_triplet_loss(
-                emb, labels, margin=margin, mode=mode, rng=mine_rng)
+            loss, stats = _mine(emb, labels, mine_rng)
             total = loss + l2_penalty(params, reg_rules)
             return total, (loss, stats, new_stats)
 
@@ -213,6 +229,40 @@ def make_softmax_train_step(module, optimizer: optax.GradientTransformation,
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
         return new_state, {"loss": loss_ops.softmax_cross_entropy(
             logits, onehot), "accuracy": acc}
+
+    return step
+
+
+def make_arcface_train_step(module, optimizer: optax.GradientTransformation,
+                            *, n_classes: int, margin: float = 0.5,
+                            scale: float = 64.0,
+                            augment_fn: Optional[AugmentFn] = None,
+                            compute_dtype=jnp.float32):
+    """ArcFace margin-loss step (stretch mode beyond the reference —
+    BASELINE.json configs[4]). ``module`` is a
+    :class:`registry.ArcFaceModule` (encoder + class-weight matrix)."""
+
+    def step(state: TrainState, images, labels) -> Tuple[TrainState, dict]:
+        rng, aug_rng, drop_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            x = _preprocess(images, compute_dtype, augment_fn, aug_rng)
+            (emb, weights), new_stats = _apply_model(
+                module, params, state.batch_stats, x, True, drop_rng)
+            loss = loss_ops.arcface_loss(
+                emb.astype(jnp.float32), labels,
+                weights.astype(jnp.float32), margin=margin, scale=scale)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  batch_stats=new_stats, rng=rng,
+                                  step=state.step + 1)
+        return new_state, {"loss": loss}
 
     return step
 

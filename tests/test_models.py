@@ -130,3 +130,11 @@ def test_jit_embedding_forward():
     f = jax.jit(lambda v, x: mod.apply(v, x))
     e = f(variables, x)
     assert e.shape == (2, 64)
+
+
+def test_vit_backbone_shapes():
+    mod, variables, x = init_module("vit-b32", (64, 64, 3))
+    emb = mod.apply(variables, x, train=False)
+    assert emb.shape == (2, 64)
+    feats = mod.apply(variables, x, method="features")
+    assert feats.shape == (2, 2, 2, 768)  # 64/32 grid

@@ -1,0 +1,145 @@
+"""Weight-ported parity vs the actual tf.keras reference architectures.
+
+The north-star parity target (BASELINE.md): embeddings <1e-5 vs the Keras
+reference with the same weights and preprocessing. TF runs the *reference
+code path itself* (the ``simple`` backbone is rebuilt exactly as
+``embedding_net/backbones.py:19-41`` builds it); weights transfer through
+``models.pretrained`` converters. Random init, no downloads — the mapping
+is what is under test.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from embeddingnet_tpu.models import pretrained  # noqa: E402
+from embeddingnet_tpu.models.simple import SimpleCNN  # noqa: E402
+from embeddingnet_tpu.models.resnet import resnet50  # noqa: E402
+
+pytestmark = pytest.mark.parity
+
+
+def build_reference_simple(input_shape, encodings_len, normalize=True):
+    """The reference ``simple`` base_model, layer-for-layer
+    (``backbones.py:19-41``)."""
+    from tensorflow.keras.layers import (Conv2D, Dense, Flatten, Input,
+                                         Lambda, MaxPool2D)
+    from tensorflow.keras.models import Model
+    from tensorflow.keras.regularizers import l2
+    import tensorflow.keras.backend as K
+
+    input_image = Input(input_shape)
+    x = Conv2D(64, (10, 10), activation="relu",
+               kernel_regularizer=l2(2e-4))(input_image)
+    x = MaxPool2D()(x)
+    x = Conv2D(128, (7, 7), activation="relu",
+               kernel_regularizer=l2(2e-4))(x)
+    x = MaxPool2D()(x)
+    x = Conv2D(128, (4, 4), activation="relu",
+               kernel_regularizer=l2(2e-4))(x)
+    x = MaxPool2D()(x)
+    x = Conv2D(256, (4, 4), activation="relu",
+               kernel_regularizer=l2(2e-4))(x)
+    x = Flatten()(x)
+    encoded = Dense(encodings_len, activation="relu",
+                    kernel_regularizer=l2(1e-3))(x)
+    if normalize:
+        encoded = Lambda(lambda t: K.l2_normalize(t, axis=1),
+                         name="l2_norm")(encoded)
+    return Model(inputs=[input_image], outputs=[encoded])
+
+
+@pytest.mark.parametrize("normalize", [True, False])
+def test_simple_backbone_parity(normalize):
+    input_shape = (96, 96, 3)
+    encodings_len = 64
+    keras_model = build_reference_simple(input_shape, encodings_len,
+                                         normalize)
+
+    rng = np.random.default_rng(0)
+    # training-path preprocessing: uint8 -> /255. (datagenerators.py:156)
+    images = rng.integers(0, 255, (4,) + input_shape).astype(np.float32) / 255.0
+
+    ref_out = keras_model.predict(images, verbose=0)
+
+    module = SimpleCNN(encodings_len=encodings_len,
+                       embeddings_normalization=normalize)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1,) + input_shape))
+    params = pretrained.keras_simple_to_flax(keras_model, encodings_len)
+    out = np.asarray(module.apply({"params": params}, jnp.asarray(images)))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-4)
+
+
+def test_resnet50_backbone_parity():
+    """tf.keras.applications ResNet50 (random weights, include_top=False)
+    vs our Flax ResNet-50 with ported weights — feature-map parity."""
+    input_shape = (64, 64, 3)
+    keras_model = tf.keras.applications.ResNet50(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    module = resnet50(stride_in_3x3=False, use_bias=True)
+    params, batch_stats = pretrained.keras_resnet50_to_flax(keras_model)
+    out = np.asarray(module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(images), train=False))
+
+    assert out.shape == ref_out.shape
+    # BN in inference + 50 conv layers accumulate fp32 noise; the spec
+    # target (<1e-5 on embeddings) is checked on the normalized embedding
+    # in test_embedding_parity_resnet50 below.
+    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+
+
+def test_embedding_parity_resnet50():
+    """Full encoder parity: ported ResNet50 + GAP head, L2-normalized
+    embedding <1e-5 vs the Keras equivalent (backbones.py:110-121)."""
+    input_shape = (64, 64, 3)
+    encodings_len = 64
+    keras_backbone = tf.keras.applications.ResNet50(
+        weights=None, include_top=False, input_shape=input_shape)
+    from tensorflow.keras.layers import Dense, GlobalAveragePooling2D, Lambda
+    from tensorflow.keras.models import Model
+    import tensorflow.keras.backend as K
+
+    x = GlobalAveragePooling2D()(keras_backbone.output)
+    x = Dense(encodings_len // 2, activation="relu", name="head_d1")(x)
+    x = Dense(encodings_len, activation="relu", name="head_d2")(x)
+    x = Lambda(lambda t: K.l2_normalize(t, axis=1))(x)
+    keras_model = Model(inputs=[keras_backbone.input], outputs=[x])
+
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    from embeddingnet_tpu.models.heads import EmbeddingHead
+    import flax.linen as nn
+
+    class Encoder(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            feats = resnet50(stride_in_3x3=False, use_bias=True,
+                             name="backbone")(x, train=False)
+            return EmbeddingHead(encodings_len, True, name="head")(feats)
+
+    params, batch_stats = pretrained.keras_resnet50_to_flax(keras_backbone)
+    d1_k, d1_b = keras_model.get_layer("head_d1").get_weights()
+    d2_k, d2_b = keras_model.get_layer("head_d2").get_weights()
+    variables = {
+        "params": {"backbone": params,
+                   "head": {"dense_1": {"kernel": d1_k, "bias": d1_b},
+                            "dense_2": {"kernel": d2_k, "bias": d2_b}}},
+        "batch_stats": {"backbone": batch_stats},
+    }
+    out = np.asarray(Encoder().apply(variables, jnp.asarray(images)))
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-4)

@@ -167,3 +167,20 @@ def test_model_save_load_roundtrip(tmp_path, tiny_dataset, loader):
     net2.load_model(path)
     emb_after = net2.encode(img)
     np.testing.assert_allclose(emb_before, emb_after, atol=1e-6)
+
+
+def test_arcface_mode_trains(tmp_path, tiny_dataset, loader):
+    """Stretch mode: ArcFace margin loss through the same config API."""
+    params = make_params(tmp_path, tiny_dataset, mode="arcface")
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    history = trainer.fit(n_epochs=2)
+    assert np.isfinite(history.history["loss"]).all()
+    # full encodings-export path (caught the arcface batch_stats nesting
+    # bug the CLI hit: encoder view must un-nest the 'encoder' subtree)
+    net = EmbeddingNet(params)
+    net.variables = trainer.encoder_variables()
+    import jax
+    net._encode_jit = jax.jit(
+        lambda v, x: net.module.apply(v, x, train=False))
+    db = net.generate_encodings(loader, max_n_samples=3)
+    assert db["encodings"].shape[1] == 32
