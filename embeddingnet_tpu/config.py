@@ -241,6 +241,9 @@ class PerformanceConfig(_SectionBase):
     remat: bool = False
     donate_state: bool = True
     use_pallas_mining: bool = False
+    # Sanitizer mode (SURVEY.md §5 race-detection analog): raise on any
+    # NaN produced inside jitted computations.
+    debug_nans: bool = False
 
     def __post_init__(self):
         if self.compute_dtype not in _VALID_DTYPES:

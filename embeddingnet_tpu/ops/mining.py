@@ -188,6 +188,112 @@ def batch_all_loss_reference(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
     return loss, stats
 
 
+def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
+                       margin: float):
+    """Forward + the analytic weight matrix W (see custom VJP below).
+
+    All counting runs through ONE merged argsort per anchor row instead of
+    ``searchsorted`` — vmapped searchsorted lowers to a serial
+    gather loop on TPU (~140 ms at B=1024); a [B, 2B] bitonic argsort +
+    cumsums is fully vectorized. Per anchor row the merged array holds its
+    B negative squared distances (``+inf`` where not a negative) and its B
+    pair thresholds ``t = sq_ap + margin`` (``-inf`` where not a positive
+    pair); positional cumsums of indicator/value give, at every t, the
+    count ``k`` and value-sum ``P`` of negatives strictly below it, and at
+    every negative, the count ``m`` of thresholds strictly above it.
+    (Stable sort puts equal negatives before thresholds; a tie is a
+    zero-hinge triplet, so either subgradient convention is valid.)
+    """
+    sq = pairwise_sq_l2(embeddings)
+    dist = jnp.sqrt(sq)
+    pos_mask, neg_mask = _masks(labels)
+    b = labels.shape[0]
+
+    neg_sq = jnp.where(neg_mask, sq, jnp.inf)              # [B, B]
+    t = jnp.where(pos_mask, sq + margin, -jnp.inf)         # [B, B]
+
+    merged = jnp.concatenate([neg_sq, t], axis=1)          # [B, 2B]
+    col_ids = jnp.broadcast_to(jnp.arange(2 * b, dtype=jnp.int32)[None, :],
+                               (b, 2 * b))
+    # TPU gathers are slow (~16 ms per [1024,1024] take_along_axis) while
+    # sorts are fast; so: one stable key-sort carries column ids into rank
+    # order, and after the positional cumsums a SECOND sort keyed on the
+    # column ids un-sorts the cumulants back to element order — zero
+    # gathers end to end.
+    vals_sorted, sorted_col = jax.lax.sort((merged, col_ids), dimension=1,
+                                           num_keys=1)
+    is_neg_sorted = (sorted_col < b).astype(sq.dtype)
+
+    # negatives strictly before each rank: count and value prefix sums
+    cum_cnt = jnp.cumsum(is_neg_sorted, axis=1) - is_neg_sorted
+    neg_vals = jnp.where((sorted_col < b) & jnp.isfinite(vals_sorted),
+                         vals_sorted, 0.0)
+    cum_val = jnp.cumsum(neg_vals, axis=1) - neg_vals
+    # thresholds strictly before each rank (includes -inf invalid t's)
+    is_t_sorted = 1.0 - is_neg_sorted
+    cum_t = jnp.cumsum(is_t_sorted, axis=1) - is_t_sorted
+
+    _, u_cnt, u_val, u_t = jax.lax.sort(
+        (sorted_col, cum_cnt, cum_val, cum_t), dimension=1, num_keys=1)
+
+    k = jnp.where(pos_mask, u_cnt[:, b:], 0.0)             # #neg < t
+    p_at_t = u_val[:, b:]
+    pair_sum = jnp.where(pos_mask, k * t - p_at_t, 0.0)
+
+    active = jnp.sum(k)
+    loss = jnp.sum(pair_sum) / jnp.maximum(active, 1.0)
+
+    # m[a, n] = #valid thresholds of anchor a strictly above sq_an.
+    # cum_t at a negative's rank counts t's below it, including the
+    # (B - n_pos) invalid -inf thresholds that sort first.
+    n_pos = jnp.sum(pos_mask, axis=1).astype(sq.dtype)     # [B]
+    n_invalid_t = b - n_pos
+    t_below = u_t[:, :b]
+    m = jnp.maximum(n_pos[:, None] - (t_below - n_invalid_t[:, None]), 0.0)
+    m = jnp.where(neg_mask, m, 0.0)
+
+    denom = jnp.maximum(active, 1.0)
+    w = (k * pos_mask - m * neg_mask) / denom
+
+    n_candidates = jnp.sum(
+        jnp.sum(pos_mask, axis=1) * jnp.sum(neg_mask, axis=1))
+    stats = _stats(dist, pos_mask, neg_mask, active.astype(jnp.int32),
+                   n_candidates)
+    return loss, stats, w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _batch_all_custom(embeddings, labels, margin):
+    loss, stats, _ = _batch_all_forward(embeddings, labels, margin)
+    return loss, stats
+
+
+def _batch_all_fwd(embeddings, labels, margin):
+    loss, stats, w = _batch_all_forward(embeddings, labels, margin)
+    return (loss, stats), (embeddings.astype(jnp.float32), w)
+
+
+def _batch_all_bwd(margin, residuals, cotangents):
+    """Analytic gradient: ``loss_sum = sum_ab W[a,b] * sq[a,b]`` with W
+    piecewise-constant in the embeddings, so with ``S = W + W^T``::
+
+        dL/de = 2 * (rowsum(S) * e - S @ e)
+
+    — one [B,B]x[B,D] matmul on the MXU instead of autodiff through
+    sort/scatter (which costs ~140 ms at B=1024 on TPU; this costs ~1 ms).
+    """
+    g_loss, _g_stats = cotangents
+    emb, w = residuals
+    s = w + w.T
+    row = jnp.sum(s, axis=1, keepdims=True)
+    grad_e = 2.0 * (row * emb - jnp.matmul(
+        s, emb, preferred_element_type=jnp.float32))
+    return (g_loss * grad_e, None)
+
+
+_batch_all_custom.defvjp(_batch_all_fwd, _batch_all_bwd)
+
+
 def batch_all_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
                    margin: float = 0.5):
     """Exact batch-all triplet loss in O(B^2 log B) — no B^3 tensor.
@@ -198,42 +304,14 @@ def batch_all_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
 
         sum_n max(t - sq_an, 0)  =  t * k - P_a[k],   k = #{n : sq_an < t}
 
-    ``k`` comes from a vectorized ``searchsorted``. Autodiff through
-    sort/cumsum/gather yields the exact gradient: d/d sq_ap = k (one per
-    active triplet) and d/d sq_an = -1 for active negatives, matching the
-    naive form (verified in ``tests/test_mining.py``).
+    ``k`` comes from a vectorized ``searchsorted``. The gradient is
+    analytic (custom VJP): per-pair triplet counts ``k`` and their dual
+    per-negative counts ``m`` form a weight matrix ``W`` with
+    ``d loss / d sq[a,b] = W[a,b]``; backpropagation to the embeddings is
+    a single MXU matmul. Verified value+gradient against the naive O(B^3)
+    oracle in ``tests/test_mining.py``.
     """
-    sq = pairwise_sq_l2(embeddings)
-    dist = jnp.sqrt(sq)
-    pos_mask, neg_mask = _masks(labels)
-    b = labels.shape[0]
-
-    neg_sq = jnp.where(neg_mask, sq, jnp.inf)              # [B, B]
-    s = jnp.sort(neg_sq, axis=1)                           # ascending
-    # Prefix sums with a leading zero; inf tail never enters a gathered sum
-    # because k never exceeds the finite count.
-    p = jnp.concatenate(
-        [jnp.zeros((b, 1), sq.dtype),
-         jnp.cumsum(jnp.where(jnp.isfinite(s), s, 0.0), axis=1)], axis=1)
-
-    t = jnp.where(pos_mask, sq + margin, -jnp.inf)         # [B(a), B(p)]
-    # k[a, p] = #negatives of a strictly below t  (hinge > 0)
-    k = jax.vmap(lambda row_s, row_t: jnp.searchsorted(row_s, row_t,
-                                                       side="left"))(s, t)
-    k = jnp.where(pos_mask, k, 0)
-    gathered = jnp.take_along_axis(p, k, axis=1)           # P_a[k]
-    pair_sum = jnp.where(pos_mask,
-                         jax.lax.stop_gradient(k.astype(sq.dtype))
-                         * jnp.where(pos_mask, sq + margin, 0.0) - gathered,
-                         0.0)
-
-    active = jnp.sum(k)
-    loss = jnp.sum(pair_sum) / jnp.maximum(active, 1)
-    # Exact candidate count: sum over a of n_pos(a) * n_neg(a).
-    n_candidates = jnp.sum(
-        jnp.sum(pos_mask, axis=1) * jnp.sum(neg_mask, axis=1))
-    stats = _stats(dist, pos_mask, neg_mask, active, n_candidates)
-    return loss, stats
+    return _batch_all_custom(embeddings.astype(jnp.float32), labels, margin)
 
 
 @functools.partial(jax.jit, static_argnames=("margin", "mode"))

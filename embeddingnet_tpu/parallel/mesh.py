@@ -17,6 +17,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed():
+    """Multi-host bring-up: call ``jax.distributed.initialize`` when the
+    standard coordination env vars are present (no-op on single host).
+    The reference's analog is CUDA_VISIBLE_DEVICES plumbing
+    (``tools/train.py:124-131``); here process coordination is JAX's and
+    cross-host collectives ride DCN automatically."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+
+
 def build_mesh(data: int = -1, model: int = 1,
                devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -72,26 +72,34 @@ def sharded_batch_all_loss(mesh: Mesh, *, margin: float = 0.5,
         pos_mask = same & ~self_mask
         neg_mask = ~same
 
-        # exact batch-all on local rows: sorted negatives + prefix sums
+        # exact batch-all on local rows, gather-free (the TPU-fast merged
+        # sort/unsort counting formulation of ops.mining._batch_all_forward;
+        # vmapped searchsorted would serialize, gathers are ~5x slower than
+        # sorts on TPU)
         neg_sq = jnp.where(neg_mask, sq, jnp.inf)
-        s = jnp.sort(neg_sq, axis=1)
-        p = jnp.concatenate(
-            [jnp.zeros((b_local, 1), sq.dtype),
-             jnp.cumsum(jnp.where(jnp.isfinite(s), s, 0.0), axis=1)], axis=1)
         t = jnp.where(pos_mask, sq + margin, -jnp.inf)
-        k = jax.vmap(lambda rs, rt: jnp.searchsorted(
-            rs, rt, side="left"))(s, t)
-        k = jnp.where(pos_mask, k, 0)
-        gathered = jnp.take_along_axis(p, k, axis=1)
-        pair_sum = jnp.where(
-            pos_mask,
-            jax.lax.stop_gradient(k.astype(sq.dtype))
-            * jnp.where(pos_mask, sq + margin, 0.0) - gathered,
-            0.0)
+        merged = jnp.concatenate([neg_sq, t], axis=1)              # [bl, 2B]
+        col_ids = jnp.broadcast_to(
+            jnp.arange(2 * b, dtype=jnp.int32)[None, :], (b_local, 2 * b))
+        vals_sorted, sorted_col = jax.lax.sort((merged, col_ids),
+                                               dimension=1, num_keys=1)
+        is_neg_sorted = (sorted_col < b).astype(sq.dtype)
+        cum_cnt = jnp.cumsum(is_neg_sorted, axis=1) - is_neg_sorted
+        neg_vals = jnp.where((sorted_col < b) & jnp.isfinite(vals_sorted),
+                             vals_sorted, 0.0)
+        cum_val = jnp.cumsum(neg_vals, axis=1) - neg_vals
+        _, u_cnt, u_val = jax.lax.sort((sorted_col, cum_cnt, cum_val),
+                                       dimension=1, num_keys=1)
+        k = jnp.where(pos_mask, u_cnt[:, b:], 0.0)
+        pair_sum = jnp.where(pos_mask,
+                             jax.lax.stop_gradient(k) *
+                             jnp.where(pos_mask, sq + margin, 0.0)
+                             - u_val[:, b:],
+                             0.0)
 
         num = jax.lax.psum(jnp.sum(pair_sum), axis)
         active = jax.lax.psum(jnp.sum(k), axis)
-        loss = num / jnp.maximum(active, 1)
+        loss = num / jnp.maximum(active, 1.0)
 
         dist = jnp.sqrt(sq)
         pos_cnt = jax.lax.psum(jnp.sum(pos_mask), axis)

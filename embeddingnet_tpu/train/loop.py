@@ -40,6 +40,10 @@ class Trainer:
         self.compute_dtype = (jnp.bfloat16
                               if params.performance.compute_dtype == "bfloat16"
                               else jnp.float32)
+        if params.performance.debug_nans:
+            # sanitizer mode: fail fast on NaNs inside jitted steps
+            jax.config.update("jax_debug_nans", True)
+        self.mesh = self._build_mesh()
         self.augment_fn = self._build_augment()
         self._build_module()
         self._build_optimizer()
@@ -71,6 +75,17 @@ class Trainer:
         if self.mode == "arcface":
             return "loss"
         return "val_loss" if self.data_loader.validate else "loss"
+
+    def _build_mesh(self):
+        """Device mesh from the MESH config; None when effectively
+        single-device (plain jit is leaner than a 1-device mesh)."""
+        mc = self.params.mesh
+        n = len(jax.devices())
+        data = n // mc.model if mc.data == -1 else mc.data
+        if data * mc.model <= 1:
+            return None
+        from embeddingnet_tpu.parallel import build_mesh
+        return build_mesh(data=mc.data, model=mc.model)
 
     def _build_augment(self):
         name = self.params.generator.augmentations
@@ -167,8 +182,21 @@ class Trainer:
             eval_step = steps.make_triplet_eval_step(
                 self.module, margin=g.margin,
                 compute_dtype=self.compute_dtype)
-        self.train_step = jax.jit(train_step, donate_argnums=donate)
-        self.eval_step = jax.jit(eval_step) if eval_step is not None else None
+        if self.mesh is not None:
+            # GSPMD over the mesh: batch args sharded on 'data', state
+            # replicated; XLA inserts the distance-matrix all-gather.
+            from embeddingnet_tpu.parallel import shard_train_step
+            n_batch = 3 if self.mode == "siamese" else 2
+            self.train_step = shard_train_step(
+                train_step, self.mesh,
+                donate=self.params.performance.donate_state,
+                n_batch_args=n_batch)
+            self.eval_step = (jax.jit(eval_step)
+                              if eval_step is not None else None)
+        else:
+            self.train_step = jax.jit(train_step, donate_argnums=donate)
+            self.eval_step = (jax.jit(eval_step)
+                              if eval_step is not None else None)
 
     # -- data --------------------------------------------------------------
 
@@ -245,12 +273,18 @@ class Trainer:
 
     def _dispatch_train(self, batch):
         images, targets = batch
+        put = self._put_batch
         if self.mode == "siamese":
             (im1, im2) = images
-            return self.train_step(self.state, jnp.asarray(im1),
-                                   jnp.asarray(im2), jnp.asarray(targets))
-        return self.train_step(self.state, jnp.asarray(images),
-                               jnp.asarray(targets))
+            return self.train_step(self.state, put(im1), put(im2),
+                                   put(targets))
+        return self.train_step(self.state, put(images), put(targets))
+
+    def _put_batch(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from embeddingnet_tpu.parallel import batch_sharding
+        return jax.device_put(np.asarray(x), batch_sharding(self.mesh))
 
     def _batch_images(self, batch) -> int:
         images, _ = batch
@@ -367,6 +401,15 @@ class Trainer:
                 f"{k}={v:.4f}" for k, v in epoch_metrics.items()))
             if early.update(epoch_metrics):
                 break
+
+        # checkpoint the pretrained backbone (reference keeps a separate
+        # pretraining weights dir, backbones.py:177-181)
+        from flax import serialization as _ser
+        import os as _os
+        with open(_os.path.join(self.paths["pretraining_weights"],
+                                "backbone.msgpack"), "wb") as f:
+            f.write(_ser.to_bytes({"params": state.params,
+                                   "batch_stats": state.batch_stats}))
 
         # hand the pretrained backbone to the embedding model
         new_params = self._with_encoder_params(transfer_backbone_params(

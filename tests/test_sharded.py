@@ -113,3 +113,34 @@ def test_batch_sharding_places_shards(mesh):
 def test_uneven_mesh_raises():
     with pytest.raises(ValueError):
         build_mesh(data=-1, model=3)  # 8 % 3 != 0
+
+
+def test_trainer_with_mesh_config(tmp_path, tiny_dataset):
+    """Trainer end-to-end with MESH.data=8: batches sharded over the
+    virtual mesh, GSPMD train step."""
+    from embeddingnet_tpu.config import params_from_dict
+    from embeddingnet_tpu.data import ENDataLoader
+    from embeddingnet_tpu.train import Trainer
+
+    params = params_from_dict({
+        "MODEL": {"input_shape": [32, 32, 3], "encodings_len": 16,
+                  "mode": "triplet", "backbone_name": "simple2",
+                  "backbone_weights": None},
+        "DATALOADER": {"dataset_path": tiny_dataset, "validate": True,
+                       "val_ratio": 0.2},
+        "GENERATOR": {"negatives_selection_mode": "batch_all",
+                      "k_classes": 4, "k_samples": 4, "margin": 0.5,
+                      "batch_size": 16, "n_batches": 2, "n_batches_val": 1},
+        "TRAIN": {"optimizer": "adam", "learning_rate": 0.001,
+                  "n_epochs": 1, "plot_history": False},
+        "GENERAL": {"project_name": "mesh_proj",
+                    "work_dir": str(tmp_path / "wd")},
+        "MESH": {"data": 8, "model": 1},
+        "PERFORMANCE": {"compute_dtype": "float32"},
+    })
+    loader = ENDataLoader(tiny_dataset, validate=True, val_ratio=0.2)
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    assert trainer.mesh is not None
+    assert trainer.mesh.shape == {"data": 8, "model": 1}
+    history = trainer.fit(n_epochs=1)
+    assert np.isfinite(history.history["loss"]).all()

@@ -41,6 +41,9 @@ def _enable_compile_cache():
 def main():
     args = parse_args()
     _enable_compile_cache()
+    # multi-host bring-up (no-op on single host)
+    from embeddingnet_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()
 
     print("LOAD PARAMETERS")
     from embeddingnet_tpu.config import parse_params
