@@ -219,17 +219,20 @@ class MeshConfig(_SectionBase):
     """``MESH:`` section (new, TPU-specific).
 
     Shapes the ``jax.sharding.Mesh``. ``data=-1`` means "all remaining
-    devices". The reference's only parallelism is single-host mirrored data
-    parallel (``tools/train.py:121-140``); here DP is the default and the
-    batch axis of the pairwise-distance matrix can additionally be sharded.
+    devices"; the default ``data=1`` keeps training single-device — like
+    the reference, parallelism is opt-in (its gate is ``gpu_ids``,
+    ``tools/train.py:121-140``). The global batch must divide by the data
+    axis.
     """
 
-    data: int = -1
+    data: int = 1
     model: int = 1
 
     def __post_init__(self):
         if self.model < 1:
             raise ConfigError("MESH.model must be >= 1")
+        if self.data < -1 or self.data == 0:
+            raise ConfigError("MESH.data must be -1 or >= 1")
 
 
 @dataclass

@@ -124,6 +124,37 @@ class EmbeddingNet:
         self.encoded_training_data = encoded
         return encoded
 
+    def encode_dataset(self, paths, batch_size: int = 256,
+                       num_workers: int = 8) -> np.ndarray:
+        """High-throughput bulk encoding: threaded/native decode pipeline
+        feeding fixed-size jitted encode batches (pads the tail so one
+        compiled program serves every batch). The production-scale path
+        that ``generate_encodings``'s per-class loop (reference semantics,
+        ``models.py:61-84``) is not."""
+        from embeddingnet_tpu.data.pipeline import BatchLoader
+
+        class _ListSampler:
+            def __init__(self, paths):
+                self.paths = paths
+
+            def __iter__(self):
+                for start in range(0, len(self.paths), batch_size):
+                    chunk = self.paths[start:start + batch_size]
+                    yield chunk, np.zeros(len(chunk), np.int32)
+
+        loader = BatchLoader(_ListSampler(paths), self.input_shape,
+                             num_workers=num_workers)
+        out = []
+        for images, _ in loader:
+            n = images.shape[0]
+            if n < batch_size:  # pad tail to the compiled shape
+                pad = np.zeros((batch_size - n,) + images.shape[1:],
+                               images.dtype)
+                images = np.concatenate([images, pad])
+            out.append(self.encode(images)[:n])
+        return np.concatenate(out) if out else np.zeros(
+            (0, self.params_model["encodings_len"]), np.float32)
+
     def save_encodings(self, encoded_training_data,
                        save_folder: str = "./",
                        save_file_name: str = "encodings.pkl"):

@@ -99,6 +99,63 @@ def _bn_params(layer):
             {"mean": mean, "var": var})
 
 
+def keras_efficientnet_to_flax(keras_model):
+    """tf.keras.applications.EfficientNetB* (include_top=False) ->
+    (params, batch_stats) for :class:`models.efficientnet.EfficientNet`.
+
+    Keras names ``block{stage}{letter}_*`` map to our
+    ``stage{s}_block{r}`` (r = letter index + 1); depthwise kernels
+    transpose (H, W, C, 1) -> (H, W, 1, C) for Flax's
+    ``feature_group_count`` convention. The in-model Rescaling/
+    Normalization layers are preprocessing, not weights — callers feed
+    this module ``x/255`` (and apply the dataset normalization if the
+    checkpoint used one).
+    """
+    layers = {l.name: l for l in keras_model.layers}
+
+    def conv_w(name, depthwise=False):
+        w = layers[name].get_weights()
+        kernel = w[0]
+        if depthwise:
+            kernel = np.transpose(kernel, (0, 1, 3, 2))
+        out = {"kernel": kernel}
+        if len(w) == 2:
+            out["bias"] = w[1]
+        return out
+
+    params: Dict[str, Any] = {"stem_conv": conv_w("stem_conv")}
+    stats: Dict[str, Any] = {}
+    params["stem_bn"], stats["stem_bn"] = _bn_params(layers["stem_bn"])
+
+    import re
+    block_names = sorted({
+        m.group(0) for name in layers
+        for m in [re.match(r"block(\d)([a-z])", name)] if m})
+    for bn in block_names:
+        stage = int(bn[5])
+        rep = ord(bn[6]) - ord("a") + 1
+        key = f"stage{stage}_block{rep}"
+        fb: Dict[str, Any] = {}
+        sb: Dict[str, Any] = {}
+        if f"{bn}_expand_conv" in layers:
+            fb["expand_conv"] = conv_w(f"{bn}_expand_conv")
+            fb["expand_bn"], sb["expand_bn"] = _bn_params(
+                layers[f"{bn}_expand_bn"])
+        fb["dw_conv"] = conv_w(f"{bn}_dwconv", depthwise=True)
+        fb["dw_bn"], sb["dw_bn"] = _bn_params(layers[f"{bn}_bn"])
+        fb["se"] = {"reduce": conv_w(f"{bn}_se_reduce"),
+                    "expand": conv_w(f"{bn}_se_expand")}
+        fb["project_conv"] = conv_w(f"{bn}_project_conv")
+        fb["project_bn"], sb["project_bn"] = _bn_params(
+            layers[f"{bn}_project_bn"])
+        params[key] = fb
+        stats[key] = sb
+
+    params["head_conv"] = conv_w("top_conv")
+    params["head_bn"], stats["head_bn"] = _bn_params(layers["top_bn"])
+    return params, stats
+
+
 def keras_resnet50_to_flax(keras_model):
     """tf.keras.applications.ResNet50(include_top=False) -> (params,
     batch_stats) for ``resnet.resnet50(stride_in_3x3=False, use_bias=True)``.

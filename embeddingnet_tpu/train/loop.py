@@ -85,7 +85,16 @@ class Trainer:
         if data * mc.model <= 1:
             return None
         from embeddingnet_tpu.parallel import build_mesh
-        return build_mesh(data=mc.data, model=mc.model)
+        mesh = build_mesh(data=mc.data, model=mc.model)
+        g = self.params.generator
+        batch = (g.k_classes * g.k_samples
+                 if self.params.model.mode == "triplet" else g.batch_size)
+        if batch % mesh.shape["data"]:
+            from embeddingnet_tpu.config import ConfigError
+            raise ConfigError(
+                f"global batch {batch} must divide by MESH data axis "
+                f"{mesh.shape['data']}")
+        return mesh
 
     def _build_augment(self):
         name = self.params.generator.augmentations
@@ -178,7 +187,8 @@ class Trainer:
                 mode=g.negatives_selection_mode,
                 augment_fn=self.augment_fn, reg_rules=reg_rules,
                 compute_dtype=self.compute_dtype,
-                use_pallas=self.params.performance.use_pallas_mining)
+                use_pallas=self.params.performance.use_pallas_mining,
+                remat=self.params.performance.remat)
             eval_step = steps.make_triplet_eval_step(
                 self.module, margin=g.margin,
                 compute_dtype=self.compute_dtype)

@@ -41,14 +41,22 @@ def _preprocess(images: jnp.ndarray, dtype, augment_fn: Optional[AugmentFn],
 
 
 def _apply_model(module, params, batch_stats, x, train: bool,
-                 dropout_rng: jax.Array, method=None):
-    variables = {"params": params}
-    if batch_stats:
-        variables["batch_stats"] = batch_stats
-    out, mutated = module.apply(
-        variables, x, train=train, mutable=["batch_stats"],
-        rngs={"dropout": dropout_rng}, **({"method": method} if method else {}))
-    return out, mutated.get("batch_stats", batch_stats)
+                 dropout_rng: jax.Array, method=None, remat: bool = False):
+    def apply_fn(params, x):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out, mutated = module.apply(
+            variables, x, train=train, mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
+            **({"method": method} if method else {}))
+        return out, mutated.get("batch_stats", batch_stats)
+
+    if remat:
+        # rematerialize activations in the backward pass: trade FLOPs for
+        # HBM (PERFORMANCE.remat — big-batch / big-backbone configs)
+        apply_fn = jax.checkpoint(apply_fn)
+    return apply_fn(params, x)
 
 
 def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
@@ -56,7 +64,8 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
                             augment_fn: Optional[AugmentFn] = None,
                             reg_rules: Sequence = (),
                             compute_dtype=jnp.float32,
-                            use_pallas: bool = False):
+                            use_pallas: bool = False,
+                            remat: bool = False):
     """Online-mining triplet step over P-K batches ``(images, labels)``.
 
     Replaces the reference's generator->predict->sklearn->select pipeline
@@ -88,7 +97,7 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
         def loss_fn(params):
             x = _preprocess(images, compute_dtype, augment_fn, aug_rng)
             emb, new_stats = _apply_model(module, params, state.batch_stats,
-                                          x, True, drop_rng)
+                                          x, True, drop_rng, remat=remat)
             emb = emb.astype(jnp.float32)
             loss, stats = _mine(emb, labels, mine_rng)
             total = loss + l2_penalty(params, reg_rules)

@@ -122,7 +122,7 @@ def test_softmax_section_optional():
 
 def test_mesh_and_performance_defaults():
     params = params_from_dict({})
-    assert params.mesh.data == -1
+    assert params.mesh.data == 1  # parallelism is opt-in (like ref gpu_ids)
     assert params.mesh.model == 1
     assert params.performance.compute_dtype == "bfloat16"
 

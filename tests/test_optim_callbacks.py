@@ -1,0 +1,158 @@
+"""Optimizer schedules, plateau/early-stop callbacks, viz smoke tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from embeddingnet_tpu.train import callbacks as cb
+from embeddingnet_tpu.train import optim
+
+
+def test_step_decay_schedule_matches_keras_lambda():
+    """lr * decay^floor(epoch/step) (tools/train.py:80-81) over steps."""
+    sched = optim.step_decay_schedule(0.1, 0.5, step_size_epochs=2,
+                                      steps_per_epoch=10)
+    # epoch 0-1 -> 0.1; epoch 2-3 -> 0.05; epoch 4 -> 0.025
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(19)) == pytest.approx(0.1)
+    assert float(sched(20)) == pytest.approx(0.05)
+    assert float(sched(39)) == pytest.approx(0.05)
+    assert float(sched(40)) == pytest.approx(0.025)
+
+
+@pytest.mark.parametrize("name,cls", [
+    ("adam", optax.adam), ("rms_prop", optax.rmsprop),
+    ("radam", optax.radam), ("sgd", optax.sgd), ("unknown", optax.sgd)])
+def test_optimizer_factory_names(name, cls):
+    opt = optim.get_optimizer(name, 1e-3)
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones(3)}, state, params)
+    assert jnp.isfinite(updates["w"]).all()
+
+
+def test_radam_warmup_behavior():
+    """optax.radam rectification: early steps fall back to SGD-with-momentum
+    style updates (variance not yet tractable) — the keras-radam semantics
+    the reference relies on (utils.py:148-150)."""
+    opt = optax.radam(0.1)
+    params = {"w": jnp.zeros(4)}
+    state = opt.init(params)
+    g = {"w": jnp.ones(4)}
+    u1, state = opt.update(g, state, params)
+    # first update must be finite and non-zero (not frozen by 0 variance)
+    assert jnp.isfinite(u1["w"]).all()
+    assert jnp.abs(u1["w"]).max() > 0
+
+
+def test_plateau_scale_wiring():
+    """scaled_by_plateau: host-set multiplier actually scales the update."""
+    base = optax.sgd(1.0)
+    opt = optim.scaled_by_plateau(base)
+    params = {"w": jnp.zeros(2)}
+    state = opt.init(params)
+    g = {"w": jnp.ones(2)}
+    u1, state1 = opt.update(g, state, params)
+    state_scaled = optim.set_plateau_scale(state1, 0.1)
+    assert optim.get_plateau_scale(state_scaled) == pytest.approx(0.1)
+    u2, _ = opt.update(g, state_scaled, params)
+    np.testing.assert_allclose(np.asarray(u2["w"]),
+                               np.asarray(u1["w"]) * 0.1, rtol=1e-6)
+
+
+def test_masked_freezes_subtree():
+    opt = optim.masked(optax.sgd(1.0), {"a": True, "b": False})
+    params = {"a": jnp.ones(2), "b": jnp.ones(2)}
+    state = opt.init(params)
+    updates, _ = opt.update({"a": jnp.ones(2), "b": jnp.ones(2)}, state,
+                            params)
+    assert np.abs(np.asarray(updates["a"])).max() > 0
+    assert np.abs(np.asarray(updates["b"])).max() == 0
+
+
+def test_l2_penalty_rules():
+    params = {"conv_1": {"kernel": jnp.full((2, 2), 2.0),
+                         "bias": jnp.ones(2)},
+              "head": {"kernel": jnp.full((2,), 3.0)}}
+    p = optim.l2_penalty(params, [(r".*conv_1.*kernel", 0.1)])
+    # 0.1 * sum(2^2 * 4) = 1.6 ; bias and head excluded
+    assert float(p) == pytest.approx(1.6)
+    assert float(optim.l2_penalty(params, [])) == 0.0
+
+
+def test_reduce_lr_on_plateau_semantics():
+    pl = cb.ReduceLROnPlateau(monitor="val_loss", factor=0.5, patience=2,
+                              verbose=False)
+    assert pl.update({"val_loss": 1.0}) == 1.0  # new best
+    assert pl.update({"val_loss": 1.1}) == 1.0  # wait 1
+    assert pl.update({"val_loss": 1.2}) == 0.5  # wait 2 -> scale
+    assert pl.update({"val_loss": 0.5}) == 0.5  # new best, scale persists
+    # round-trip
+    pl2 = cb.ReduceLROnPlateau(verbose=False)
+    pl2.load_state_dict(pl.state_dict())
+    assert pl2.scale == 0.5
+
+
+def test_early_stopping_semantics():
+    es = cb.EarlyStopping(monitor="val_loss", patience=2, verbose=False)
+    assert not es.update({"val_loss": 1.0})
+    assert not es.update({"val_loss": 1.5})
+    assert es.update({"val_loss": 1.5})
+    assert es.stopped
+    # missing monitor key is a no-op
+    es2 = cb.EarlyStopping(patience=1, verbose=False)
+    assert not es2.update({"loss": 1.0})
+
+
+def test_history_object():
+    h = cb.History()
+    h.append({"loss": 1.0, "acc": 0.5})
+    h.append({"loss": 0.5, "acc": 0.7})
+    assert h.history["loss"] == [1.0, 0.5]
+    assert h.last("acc") == 0.7
+    assert h.last("nope") is None
+
+
+def test_plot_grapths_and_tsne(tmp_path, rng_np):
+    from embeddingnet_tpu.utils import viz
+    outs = viz.plot_grapths({"loss": [1.0, 0.5, 0.2]}, str(tmp_path))
+    assert os.path.exists(outs[0])
+
+    enc = {"labels": ["a"] * 10 + ["b"] * 10,
+           "encodings": np.vstack([rng_np.normal(size=(10, 8)),
+                                   rng_np.normal(size=(10, 8)) + 5])}
+    import pickle
+    with open(tmp_path / "enc.pkl", "wb") as f:
+        pickle.dump(enc, f)
+    out = viz.plot_tsne(str(tmp_path / "enc.pkl"), str(tmp_path))
+    assert os.path.exists(out)
+
+
+def test_plot_batch_mosaics(tmp_path, rng_np):
+    from embeddingnet_tpu.utils import viz
+    data = [rng_np.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32)
+            for _ in range(2)]
+    targets = np.eye(4, dtype=np.float32)
+    img = viz.plot_batch_simple([data[0]], targets,
+                                ["a", "b", "c", "d"],
+                                save_path=str(tmp_path / "m.png"))
+    assert img.shape == (16, 64, 3)
+    viz.plot_batch(data, targets, save_path=str(tmp_path / "b.png"))
+    assert os.path.exists(tmp_path / "b.png")
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    from embeddingnet_tpu.utils.logging import MetricsLogger
+    logger = MetricsLogger(str(tmp_path), tensorboard=False)
+    logger.log(0, {"loss": 1.5})
+    logger.log(1, {"loss": 1.0}, prefix="val")
+    logger.close()
+    import json
+    lines = [json.loads(l) for l in
+             open(logger.jsonl_path).read().splitlines()]
+    assert lines[0]["loss"] == 1.5
+    assert lines[1]["val/loss"] == 1.0

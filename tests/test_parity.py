@@ -143,3 +143,26 @@ def test_embedding_parity_resnet50():
     }
     out = np.asarray(Encoder().apply(variables, jnp.asarray(images)))
     np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-4)
+
+
+def test_efficientnet_b0_backbone_parity():
+    """tf.keras EfficientNetB0 (random weights, include_top=False) vs our
+    Flax EfficientNet with ported weights. Keras embeds Rescaling(1/255) +
+    identity Normalization, so keras gets raw 0..255 and ours gets /255."""
+    input_shape = (64, 64, 3)
+    keras_model = tf.keras.applications.EfficientNetB0(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(3)
+    raw = rng.uniform(0, 255, size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(raw, verbose=0)
+
+    from embeddingnet_tpu.models.efficientnet import build_efficientnet
+    module = build_efficientnet("efficientnet-b0")
+    params, batch_stats = pretrained.keras_efficientnet_to_flax(keras_model)
+    out = np.asarray(module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(raw / 255.0), train=False))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-2)

@@ -184,3 +184,26 @@ def test_arcface_mode_trains(tmp_path, tiny_dataset, loader):
         lambda v, x: net.module.apply(v, x, train=False))
     db = net.generate_encodings(loader, max_n_samples=3)
     assert db["encodings"].shape[1] == 32
+
+
+def test_encode_dataset_bulk(tmp_path, tiny_dataset, loader):
+    params = make_params(tmp_path, tiny_dataset)
+    net = EmbeddingNet(params)
+    paths, _ = loader.flat("train")
+    emb = net.encode_dataset(paths, batch_size=16)
+    assert emb.shape == (len(paths), 32)
+    # matches the per-image encode path
+    one = net.encode(__import__("embeddingnet_tpu.data.images",
+                                fromlist=["get_images"]).get_images(
+        paths[:4], params.model.input_shape))
+    np.testing.assert_allclose(emb[:4], one, atol=1e-5)
+
+
+def test_remat_training(tmp_path, tiny_dataset, loader):
+    """PERFORMANCE.remat trains identically (value-wise) with checkpointed
+    activations."""
+    params = make_params(tmp_path, tiny_dataset)
+    params.performance.remat = True
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    history = trainer.fit(n_epochs=1)
+    assert np.isfinite(history.history["loss"]).all()
