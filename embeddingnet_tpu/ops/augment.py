@@ -145,23 +145,47 @@ def hue_saturation_value(x: Image, rng: jax.Array, p: float = 0.4,
 
 
 def clahe_approx(x: Image, rng: jax.Array, p: float = 0.4,
-                 clip_limit: float = 4.0, n_bins: int = 256) -> Image:
+                 clip_limit: float = 4.0, n_bins: int = 64,
+                 chunk: int = 32) -> Image:
     """Contrast-limited *global* histogram equalization on luminance —
-    XLA-friendly CLAHE approximation (see module docstring)."""
+    XLA-friendly CLAHE approximation (see module docstring).
+
+    Histogram and CDF lookup are chunked broadcast-compare reductions
+    (streamed on the VPU) — per-element scatter/gather would serialize on
+    TPU (a scatter-add histogram at batch 1024 never finished compiling).
+    64 bins keep the compare volume down; visually indistinguishable from
+    256 for 8-bit contrast limiting.
+    """
     b, hh, ww, _ = x.shape
     lum = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]  # BGR
     flat = lum.reshape(b, -1)
     n = flat.shape[1]
-    # per-image histogram with clipping
     bins = jnp.clip((flat / 256.0 * n_bins).astype(jnp.int32), 0, n_bins - 1)
-    hist = jax.vmap(lambda bi: jnp.zeros(n_bins).at[bi].add(1.0))(bins)
+
+    # histogram: sum over pixels of (bin == level), level-chunked
+    hists = []
+    for k0 in range(0, n_bins, chunk):
+        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+        hists.append(jnp.sum(
+            (bins[:, :, None] == ks[None, None, :]).astype(jnp.float32),
+            axis=1))
+    hist = jnp.concatenate(hists, axis=1)                  # [B, n_bins]
+
     clip_count = clip_limit * n / n_bins
     clipped = jnp.minimum(hist, clip_count)
     excess = (jnp.sum(hist, axis=1, keepdims=True)
               - jnp.sum(clipped, axis=1, keepdims=True))
-    hist = clipped + excess / n_bins
-    cdf = jnp.cumsum(hist, axis=1) / n
-    mapped = jax.vmap(lambda c, bi: c[bi])(cdf, bins) * 255.0
+    cdf = jnp.cumsum(clipped + excess / n_bins, axis=1) / n  # [B, n_bins]
+
+    # mapped[b, i] = cdf[b, bins[b, i]] as compare-multiply-reduce
+    mapped = jnp.zeros_like(flat)
+    for k0 in range(0, n_bins, chunk):
+        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+        sel = (bins[:, :, None] == ks[None, None, :]).astype(jnp.float32)
+        mapped = mapped + jnp.einsum("bik,bk->bi", sel,
+                                     cdf[:, k0:k0 + chunk])
+    mapped = mapped * 255.0
+
     new_lum = mapped.reshape(b, hh, ww)
     ratio = (new_lum / jnp.maximum(lum, 1e-3))[..., None]
     out = jnp.clip(x * ratio, 0, 255)
@@ -180,29 +204,49 @@ def vertical_flip(x: Image, rng: jax.Array, p: float = 0.5) -> Image:
 
 def random_rotate90(x: Image, rng: jax.Array, p: float = 0.3) -> Image:
     """Random k in {0,1,2,3} quarter-turns per image (requires H == W for
-    static shapes; the reference's square inputs satisfy this)."""
+    static shapes; the reference's square inputs satisfy this). Selection
+    is a masked sum over the four rotations — per-image gather would
+    serialize on TPU."""
     b = x.shape[0]
     r1, r2 = jax.random.split(rng)
     k = jax.random.randint(r1, (b,), 0, 4)
-    rots = jnp.stack([x,
-                      jnp.rot90(x, 1, axes=(1, 2)),
-                      jnp.rot90(x, 2, axes=(1, 2)),
-                      jnp.rot90(x, 3, axes=(1, 2))], axis=1)  # [B, 4, ...]
-    chosen = jnp.take_along_axis(
-        rots, k[:, None, None, None, None], axis=1)[:, 0]
+    chosen = jnp.zeros_like(x)
+    for rot in range(4):
+        mask = (k == rot).astype(x.dtype)[:, None, None, None]
+        chosen = chosen + mask * jnp.rot90(x, rot, axes=(1, 2))
     return _blend(x, chosen, _gate(r2, p, b))
+
+
+def _interp_matrix(offset: jnp.ndarray, crop_size: int, out_size: int,
+                   in_size: int) -> jnp.ndarray:
+    """Per-image bilinear interpolation matrix [B, out_size, in_size].
+
+    Row i holds the (<=2 nonzero) bilinear weights sampling full-image
+    coordinate ``offset + (i + 0.5) * crop/out - 0.5``. Crop-and-resize
+    becomes two batched matmuls (rows then cols) on the MXU — the
+    vmapped dynamic_slice + jax.image.resize formulation gathers
+    per-image and ran 55 ms at batch 1024 where this runs ~1 ms.
+    """
+    scale = crop_size / out_size
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    src = offset[:, None].astype(jnp.float32) + (i[None, :] + 0.5) * scale \
+        - 0.5                                           # [B, out]
+    src = jnp.clip(src, 0.0, in_size - 1.0)
+    j = jnp.arange(in_size, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src[:, :, None] - j[None, None, :]))
+    # clamped edges can leave a single weight < 1; renormalize rows
+    return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
 
 
 def _crop_resize(x: Image, top: jnp.ndarray, left: jnp.ndarray,
                  ch: int, cw: int) -> Image:
-    """Per-image dynamic crop (static crop size) + bilinear resize back."""
+    """Per-image crop (static crop size, dynamic offsets) + bilinear
+    resize back to the input shape, as batched interpolation matmuls."""
     b, hh, ww, c = x.shape
-
-    def one(img, t, l):
-        crop = jax.lax.dynamic_slice(img, (t, l, 0), (ch, cw, c))
-        return jax.image.resize(crop, (hh, ww, c), method="bilinear")
-
-    return jax.vmap(one)(x, top, left)
+    ry = _interp_matrix(top, ch, hh, hh)                # [B, H, H]
+    rx = _interp_matrix(left, cw, ww, ww)               # [B, W, W]
+    out = jnp.einsum("bij,bjwc->biwc", ry, x)
+    return jnp.einsum("bkw,biwc->bikc", rx, out)
 
 
 def random_crop(x: Image, rng: jax.Array, p: float = 0.8,

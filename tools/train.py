@@ -76,17 +76,21 @@ def main():
         from embeddingnet_tpu.utils.viz import plot_grapths
         plot_grapths(history, trainer.paths["plots"])
 
+    # export the trained encoder in the format test.py / serve.py load
+    from embeddingnet_tpu.models import EmbeddingNet
+    net = EmbeddingNet(params)
+    net.variables = trainer.encoder_variables()
+    import jax
+    net._encode_jit = jax.jit(
+        lambda v, x: net.module.apply(v, x, train=False))
+    weights_path = net.save_base_model(trainer.paths["work_dir"])
+    print(f"base model saved to {weights_path}")
+
     if params.encodings.save_encodings:
         print("EXPORT ENCODINGS")
-        from embeddingnet_tpu.models import EmbeddingNet
         from embeddingnet_tpu.ops.knn import class_centers
         import numpy as np
 
-        net = EmbeddingNet(params)
-        net.variables = trainer.encoder_variables()
-        import jax
-        net._encode_jit = jax.jit(
-            lambda v, x: net.module.apply(v, x, train=False))
         db = net.generate_encodings(
             data_loader,
             max_n_samples=params.encodings.max_num_samples_of_each_class)
