@@ -35,6 +35,11 @@ _RESNETS = {
     "resnet50": _resnet.resnet50,
     "resnet101": _resnet.resnet101,
     "resnet152": _resnet.resnet152,
+    "seresnet18": _resnet.seresnet18,
+    "seresnet34": _resnet.seresnet34,
+    "seresnet50": _resnet.seresnet50,
+    "resnext50": _resnet.resnext50,
+    "resnext101": _resnet.resnext101,
 }
 
 

@@ -27,6 +27,24 @@ Dtype = Any
 he_normal = nn.initializers.he_normal
 
 
+class SEModule(nn.Module):
+    """Squeeze-excitation (Hu et al.) for the SE-ResNet variants the
+    reference reaches through the qubvel zoo (``backbones.py:100-104``)."""
+
+    channels: int
+    reduction: int = 16
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.Dense(max(self.channels // self.reduction, 1),
+                     dtype=self.dtype, name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Dense(self.channels, dtype=self.dtype, name="fc2")(s)
+        return x * nn.sigmoid(s)[:, None, None, :]
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity shortcut (ResNet-18/34)."""
 
@@ -34,6 +52,7 @@ class BasicBlock(nn.Module):
     strides: tuple = (1, 1)
     norm: Callable = nn.BatchNorm
     use_bias: bool = False
+    use_se: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -48,6 +67,8 @@ class BasicBlock(nn.Module):
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv2")(y)
         y = self.norm(name="bn2")(y)
+        if self.use_se:
+            y = SEModule(self.filters, dtype=self.dtype, name="se")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.filters, (1, 1), self.strides,
                                use_bias=self.use_bias, kernel_init=he_normal(),
@@ -64,6 +85,9 @@ class BottleneckBlock(nn.Module):
     norm: Callable = nn.BatchNorm
     stride_in_3x3: bool = True
     use_bias: bool = False
+    use_se: bool = False
+    groups: int = 1      # >1 = ResNeXt grouped 3x3
+    expansion: int = 4   # out_channels = filters * expansion (ResNeXt: 2)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -77,16 +101,22 @@ class BottleneckBlock(nn.Module):
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), s3, padding="SAME", use_bias=self.use_bias,
+                    feature_group_count=self.groups,
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * 4, (1, 1), use_bias=self.use_bias,
+        y = nn.Conv(self.filters * self.expansion, (1, 1),
+                    use_bias=self.use_bias,
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv3")(y)
         y = self.norm(name="bn3")(y)
+        if self.use_se:
+            y = SEModule(self.filters * self.expansion, dtype=self.dtype,
+                         name="se")(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.filters * 4, (1, 1), self.strides,
+            residual = nn.Conv(self.filters * self.expansion, (1, 1),
+                               self.strides,
                                use_bias=self.use_bias, kernel_init=he_normal(),
                                dtype=self.dtype, name="downsample_conv")(x)
             residual = self.norm(name="downsample_bn")(residual)
@@ -101,6 +131,9 @@ class ResNet(nn.Module):
     num_filters: int = 64
     stride_in_3x3: bool = True
     use_bias: bool = False  # True for keras.applications weight ports
+    use_se: bool = False    # SE-ResNet variants
+    groups: int = 1         # >1 = ResNeXt (grouped bottleneck 3x3)
+    width_per_group: int = 64
     bn_epsilon: float = 1.001e-5  # keras.applications resnet epsilon
     dtype: Optional[Dtype] = None
 
@@ -118,12 +151,23 @@ class ResNet(nn.Module):
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
-                kwargs = dict(filters=self.num_filters * 2 ** i,
+                filters = self.num_filters * 2 ** i
+                expansion = 4
+                if self.groups > 1:
+                    # canonical ResNeXt (e.g. 32x4d): mid width =
+                    # groups * width_per_group * 2^i, expansion 2
+                    filters = (self.groups * self.width_per_group
+                               * 2 ** i)
+                    expansion = (self.num_filters * 4
+                                 // (self.groups * self.width_per_group))
+                kwargs = dict(filters=filters,
                               strides=strides, norm=norm, dtype=self.dtype,
-                              use_bias=self.use_bias,
+                              use_bias=self.use_bias, use_se=self.use_se,
                               name=f"stage{i + 1}_block{j + 1}")
                 if self.block_cls is BottleneckBlock:
                     kwargs["stride_in_3x3"] = self.stride_in_3x3
+                    kwargs["groups"] = self.groups
+                    kwargs["expansion"] = expansion
                 x = self.block_cls(**kwargs)(x)
         return x
 
@@ -146,3 +190,30 @@ def resnet101(**kw) -> ResNet:
 
 def resnet152(**kw) -> ResNet:
     return ResNet(stage_sizes=(3, 8, 36, 3), block_cls=BottleneckBlock, **kw)
+
+
+def seresnet18(**kw) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock,
+                  use_se=True, **kw)
+
+
+def seresnet34(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock,
+                  use_se=True, **kw)
+
+
+def seresnet50(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BottleneckBlock,
+                  use_se=True, **kw)
+
+
+def resnext50(**kw) -> ResNet:
+    """ResNeXt-50 32x4d."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BottleneckBlock,
+                  groups=32, width_per_group=4, **kw)
+
+
+def resnext101(**kw) -> ResNet:
+    """ResNeXt-101 32x8d."""
+    return ResNet(stage_sizes=(3, 4, 23, 3), block_cls=BottleneckBlock,
+                  groups=32, width_per_group=8, **kw)

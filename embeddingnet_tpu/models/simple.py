@@ -50,9 +50,16 @@ class SimpleCNN(nn.Module):
     embeddings_normalization: bool = True
     dtype: Optional[Dtype] = None
 
+    MIN_INPUT = 65  # below this the conv/pool stack collapses to zero
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  return_features: bool = False) -> jnp.ndarray:
+        if min(x.shape[1], x.shape[2]) < self.MIN_INPUT:
+            raise ValueError(
+                f"'simple' backbone needs input >= {self.MIN_INPUT}px "
+                f"(got {x.shape[1]}x{x.shape[2]}); its 10/7/4/4 VALID conv "
+                "stack collapses below that (backbones.py:19-41 spec)")
         x = nn.Conv(64, (10, 10), padding="VALID", kernel_init=glorot(),
                     dtype=self.dtype, name="conv_1")(x)
         x = nn.relu(x)
@@ -102,9 +109,15 @@ class SimpleCNN2(nn.Module):
                          name=f"{name}_bn")(x)
         return x
 
+    MIN_INPUT = 24
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  return_features: bool = False) -> jnp.ndarray:
+        if min(x.shape[1], x.shape[2]) < self.MIN_INPUT:
+            raise ValueError(
+                f"'simple2' backbone needs input >= {self.MIN_INPUT}px "
+                f"(got {x.shape[1]}x{x.shape[2]})")
         x = self._conv_bn(x, 32, (3, 3), "conv_1", train)
         x = self._conv_bn(x, 32, (3, 3), "conv_2", train)
         x = self._conv_bn(x, 32, (5, 5), "conv_3", train, strides=(2, 2),

@@ -138,3 +138,26 @@ def test_vit_backbone_shapes():
     assert emb.shape == (2, 64)
     feats = mod.apply(variables, x, method="features")
     assert feats.shape == (2, 2, 2, 768)  # 64/32 grid
+
+
+@pytest.mark.parametrize("name", ["seresnet18", "seresnet50", "resnext50"])
+def test_se_and_resnext_variants(name):
+    mod, variables, x = init_module(name, (64, 64, 3))
+    emb = mod.apply(variables, x, train=False,
+                    mutable=[] if "batch_stats" in variables else False)
+    if isinstance(emb, tuple):
+        emb = emb[0]
+    assert emb.shape == (2, 64)
+    assert np.isfinite(np.asarray(emb)).all()
+    if name.startswith("seresnet"):
+        # SE params present
+        flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+        assert any("se" in "/".join(str(getattr(k, "key", k)) for k in p)
+                   for p, _ in flat)
+
+
+def test_small_input_clear_error():
+    with pytest.raises(ValueError, match="needs input >="):
+        init_module("simple", (48, 48, 3))
+    with pytest.raises(ValueError, match="needs input >="):
+        init_module("simple2", (16, 16, 3))
