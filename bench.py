@@ -227,8 +227,43 @@ def get_baseline(batch):
     return ips
 
 
+def bench_mining_gbs():
+    """Supplementary metric (BASELINE.md): mining-kernel throughput at
+    B=4096 — bytes touched by the batch-all fwd+bwd per unit time.
+    Byte model: the [B, 2B] merged sort/unsort pipeline reads+writes ~6
+    passes of B*2B fp32 plus the [B, B] distance matrix twice."""
+    import jax
+    import jax.numpy as jnp
+    from embeddingnet_tpu.ops import mining
+
+    b, d = 4096, 256
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    labels = jnp.asarray(np.repeat(np.arange(b // 8), 8), jnp.int32)
+    g = jax.jit(lambda e: jax.grad(
+        lambda x: mining.batch_all_loss(x, labels, margin=0.5)[0])(e))
+    out = g(emb)
+    float(out[0, 0])
+    t0 = time.perf_counter()
+    n = 20
+    y = emb
+    for _ in range(n):
+        y = g(y)
+    float(y[0, 0])
+    dt = (time.perf_counter() - t0) / n
+    bytes_touched = (6 * b * 2 * b + 2 * b * b) * 4
+    gbs = bytes_touched / dt / 1e9
+    log(f"[mining] batch_all fwd+bwd B={b}: {dt * 1e3:.2f} ms "
+        f"-> ~{gbs:.0f} GB/s effective")
+    return gbs
+
+
 def main():
     batch = BATCH
+    try:
+        bench_mining_gbs()
+    except Exception as e:
+        log(f"[mining] supplementary metric failed: {e!r}")
     try:
         ours = bench_ours(batch)
     except Exception as e:  # OOM fallback

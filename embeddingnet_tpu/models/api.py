@@ -203,7 +203,8 @@ class EmbeddingNet:
                 "load_encodings first")
         labels = db["labels"]
         classes = sorted(set(labels))
-        label_ids = np.array([classes.index(l) for l in labels], np.int32)
+        class_to_id = {c: i for i, c in enumerate(classes)}
+        label_ids = np.array([class_to_id[l] for l in labels], np.int32)
         return np.asarray(db["encodings"], np.float32), label_ids, classes
 
     def predict(self, image) -> str:

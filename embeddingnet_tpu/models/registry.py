@@ -119,8 +119,9 @@ class SiameseModule(nn.Module):
     """Two shared-weight encoder streams + distance head
     (``embedding_net/models.py:203-230``): ``l1`` -> |e1-e2| ->
     Dense(1, sigmoid); ``l2`` -> scalar euclidean distance. Returns
-    ``(distance, e1, e2)``. Param tree shares the ``encoder`` subtree with
-    :class:`EmbeddingModule` layouts via ``extract_encoder_params``.
+    ``(distance, e1, e2)``. The ``encoder`` param subtree is layout-
+    identical to a standalone :class:`EmbeddingModule`, so the Trainer's
+    ``encoder_variables()`` extracts it for encodings export.
     """
 
     backbone_name: str = "simple"

@@ -104,11 +104,16 @@ def _parity_mined_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
     ``configs/road_signs_apollo.yml:22-23``). For production batch sizes use
     ``batch_hard`` / ``batch_all``.
     """
+    b = labels.shape[0]
+    if b > 512:
+        raise ValueError(
+            f"parity mining mode {mode!r} materializes a [B,B,B] candidate "
+            f"tensor (B={b} -> {b ** 3 * 4 / 1e9:.1f} GB); reference-scale "
+            f"batches only (k_classes*k_samples ~ 60). Use 'batch_hard' or "
+            f"'batch_all' for production batch sizes.")
     dist = pairwise_l2(embeddings)            # euclidean — selection metric
     sq = pairwise_sq_l2(embeddings)           # squared  — loss metric
     pos_mask, neg_mask = _masks(labels)
-
-    b = labels.shape[0]
     idx = jnp.arange(b)
     # Unordered combinations: anchor index < positive index (ref line 231).
     pair_mask = pos_mask & (idx[:, None] < idx[None, :])
@@ -312,12 +317,6 @@ def batch_all_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
     oracle in ``tests/test_mining.py``.
     """
     return _batch_all_custom(embeddings.astype(jnp.float32), labels, margin)
-
-
-@functools.partial(jax.jit, static_argnames=("margin", "mode"))
-def _jitted_mined(embeddings, labels, rng, margin: float, mode: str):
-    return mined_triplet_loss(embeddings, labels, margin=margin, mode=mode,
-                              rng=rng)
 
 
 def mined_triplet_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,

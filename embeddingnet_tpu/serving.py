@@ -47,8 +47,6 @@ class InferenceEngine:
         self.k = min(k, len(label_ids))
         self.k5 = min(5, len(label_ids))
 
-        h, w, _ = net.input_shape
-
         @jax.jit
         def infer(variables, images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
