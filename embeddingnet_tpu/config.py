@@ -247,6 +247,11 @@ class PerformanceConfig(_SectionBase):
     # Sanitizer mode (SURVEY.md §5 race-detection analog): raise on any
     # NaN produced inside jitted computations.
     debug_nans: bool = False
+    # BatchNorm running-stats momentum. Keras default 0.99 needs ~1k steps
+    # to warm eval statistics; short-run / from-scratch configs should use
+    # 0.9 (the reference trains from pretrained weights and never hits
+    # this — from-scratch EfficientNet evals collapse until stats warm).
+    bn_momentum: float = 0.99
 
     def __post_init__(self):
         if self.compute_dtype not in _VALID_DTYPES:

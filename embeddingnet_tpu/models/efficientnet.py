@@ -134,12 +134,14 @@ class EfficientNet(nn.Module):
     width_coefficient: float = 1.0
     depth_coefficient: float = 1.0
     drop_connect_rate: float = 0.2
+    bn_momentum: float = 0.99
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.99, epsilon=1e-3, dtype=self.dtype)
+                       momentum=self.bn_momentum, epsilon=1e-3,
+                       dtype=self.dtype)
         w = self.width_coefficient
         x = nn.Conv(round_filters(32, w), (3, 3), (2, 2), padding="SAME",
                     use_bias=False, kernel_init=conv_init, dtype=self.dtype,

@@ -49,18 +49,20 @@ def list_backbones():
 
 
 def _build_backbone(name: str, encodings_len: int,
-                    embeddings_normalization: bool, dtype):
+                    embeddings_normalization: bool, dtype,
+                    bn_momentum: float = 0.99):
     """Backbone module + whether it has an integrated embedding head."""
     if name == "simple":
         return SimpleCNN(encodings_len, embeddings_normalization,
                          dtype=dtype), True
     if name == "simple2":
         return SimpleCNN2(encodings_len, embeddings_normalization,
-                          dtype=dtype), True
+                          bn_momentum=bn_momentum, dtype=dtype), True
     if name in _RESNETS:
-        return _RESNETS[name](dtype=dtype), False
+        return _RESNETS[name](bn_momentum=bn_momentum, dtype=dtype), False
     if name in _efn.SCALINGS:
-        return _efn.build_efficientnet(name, dtype=dtype), False
+        return _efn.build_efficientnet(name, bn_momentum=bn_momentum,
+                                       dtype=dtype), False
     if name.startswith("vit"):
         from embeddingnet_tpu.models.vit import build_vit
         return build_vit(name, dtype=dtype), False
@@ -80,12 +82,14 @@ class EmbeddingModule(nn.Module):
     backbone_name: str = "simple"
     encodings_len: int = 256
     embeddings_normalization: bool = True
+    bn_momentum: float = 0.99
     dtype: Optional[Dtype] = None
 
     def setup(self):
         self.backbone, integrated = _build_backbone(
             self.backbone_name, self.encodings_len,
-            self.embeddings_normalization, self.dtype)
+            self.embeddings_normalization, self.dtype,
+            bn_momentum=self.bn_momentum)
         self.head = None if integrated else EmbeddingHead(
             self.encodings_len, self.embeddings_normalization,
             dtype=self.dtype)

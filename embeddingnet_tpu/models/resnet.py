@@ -135,12 +135,13 @@ class ResNet(nn.Module):
     groups: int = 1         # >1 = ResNeXt (grouped bottleneck 3x3)
     width_per_group: int = 64
     bn_epsilon: float = 1.001e-5  # keras.applications resnet epsilon
+    bn_momentum: float = 0.99
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.99, epsilon=self.bn_epsilon,
+                       momentum=self.bn_momentum, epsilon=self.bn_epsilon,
                        dtype=self.dtype)
         x = nn.Conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=self.use_bias, kernel_init=he_normal(),

@@ -96,6 +96,7 @@ class SimpleCNN2(nn.Module):
 
     encodings_len: int = 256
     embeddings_normalization: bool = True
+    bn_momentum: float = 0.99
     dtype: Optional[Dtype] = None
 
     def _conv_bn(self, x, feats, kernel, name, train, strides=(1, 1),
@@ -105,7 +106,7 @@ class SimpleCNN2(nn.Module):
         x = nn.relu(x)
         # Keras BatchNormalization defaults: eps=1e-3, momentum=0.99.
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                         momentum=0.99, dtype=self.dtype,
+                         momentum=self.bn_momentum, dtype=self.dtype,
                          name=f"{name}_bn")(x)
         return x
 

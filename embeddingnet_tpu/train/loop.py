@@ -120,6 +120,7 @@ class Trainer:
                 backbone_name=m.backbone_name,
                 encodings_len=m.encodings_len,
                 embeddings_normalization=m.embeddings_normalization,
+                bn_momentum=self.params.performance.bn_momentum,
                 dtype=self.compute_dtype)
         elif self.mode == "arcface":
             self.module = ArcFaceModule(
@@ -134,12 +135,14 @@ class Trainer:
                 backbone_name=m.backbone_name,
                 encodings_len=m.encodings_len,
                 embeddings_normalization=False,
+                bn_momentum=self.params.performance.bn_momentum,
                 dtype=self.compute_dtype)
         else:
             self.module = EmbeddingModule(
                 backbone_name=m.backbone_name,
                 encodings_len=m.encodings_len,
                 embeddings_normalization=m.embeddings_normalization,
+                bn_momentum=self.params.performance.bn_momentum,
                 dtype=self.compute_dtype)
             self.variables = self.module.init(
                 {"params": rng, "dropout": rng}, dummy, train=False,
