@@ -30,7 +30,7 @@ class InferenceEngine:
     """Micro-batching wrapper around an :class:`EmbeddingNet` + DB."""
 
     def __init__(self, net, max_batch: int = 32,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, quantize_db: bool = False):
         import jax
         import jax.numpy as jnp
         from embeddingnet_tpu.ops import knn as knn_ops
@@ -38,11 +38,18 @@ class InferenceEngine:
         self.net = net
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        self.quantized = quantize_db
         db_emb, label_ids, classes = net._db()
         self.classes = classes
         self.labels = net.encoded_training_data["labels"]
-        self._db_emb = jnp.asarray(db_emb)
         self._db_labels = jnp.asarray(label_ids)
+        if quantize_db:
+            # int8 DB: 4x less HBM, Gram matmul on the int8 MXU path
+            self._db_values, self._db_scales = knn_ops.quantize_db(
+                jnp.asarray(db_emb))
+            self._db_emb = None
+        else:
+            self._db_emb = jnp.asarray(db_emb)
         k = int(net.params.get("encodings", {}).get("knn_k", 1) or 1)
         self.k = min(k, len(label_ids))
         self.k5 = min(5, len(label_ids))
@@ -52,10 +59,17 @@ class InferenceEngine:
             x = images_u8.astype(jnp.float32) / 255.0
             emb = net.module.apply(variables, x, train=False).astype(
                 jnp.float32)
-            pred, _ = knn_ops.knn_classify(self._db_emb, self._db_labels,
-                                           emb, k=self.k,
-                                           n_classes=len(classes))
-            _, idx5 = knn_ops.knn_neighbors(self._db_emb, emb, k=self.k5)
+            if quantize_db:
+                pred, idxs = knn_ops.knn_classify_quantized(
+                    self._db_values, self._db_scales, self._db_labels,
+                    emb, k=max(self.k, self.k5), n_classes=len(classes))
+                idx5 = idxs[:, :self.k5]
+            else:
+                pred, _ = knn_ops.knn_classify(
+                    self._db_emb, self._db_labels, emb, k=self.k,
+                    n_classes=len(classes))
+                _, idx5 = knn_ops.knn_neighbors(self._db_emb, emb,
+                                                k=self.k5)
             return emb, pred, idx5
 
         self._infer = infer

@@ -60,3 +60,27 @@ def test_knn_self_query_returns_self(db):
                                 jnp.array(emb[:5]), k=1, n_classes=5)
     np.testing.assert_array_equal(np.asarray(got), labels[:5])
     np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.arange(5))
+
+
+def test_quantized_knn_matches_float(db):
+    emb, labels = db
+    values, scales = knn.quantize_db(jnp.array(emb))
+    assert values.dtype == jnp.int8
+    queries = emb[::5]
+    pred_f, _ = knn.knn_classify(jnp.array(emb), jnp.array(labels),
+                                 jnp.array(queries), k=3, n_classes=5)
+    pred_q, _ = knn.knn_classify_quantized(values, scales,
+                                           jnp.array(labels),
+                                           jnp.array(queries), k=3,
+                                           n_classes=5)
+    # int8 rounding may flip ties; vast agreement required
+    agree = np.mean(np.asarray(pred_f) == np.asarray(pred_q))
+    assert agree >= 0.95
+
+
+def test_quantize_roundtrip_error(db):
+    emb, _ = db
+    values, scales = knn.quantize_db(jnp.array(emb))
+    recon = np.asarray(values, np.float32) * np.asarray(scales)[:, None]
+    rel = np.abs(recon - emb).max() / np.abs(emb).max()
+    assert rel < 0.01  # int8 symmetric: <1% of row absmax

@@ -125,3 +125,27 @@ def test_bad_requests(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_quantized_engine(tmp_path, tiny_dataset, rng_np):
+    from embeddingnet_tpu.serving import InferenceEngine
+    params = params_from_dict({
+        "MODEL": {"input_shape": [32, 32, 3], "encodings_len": 16,
+                  "mode": "triplet", "backbone_name": "simple2",
+                  "backbone_weights": None},
+        "DATALOADER": {"dataset_path": tiny_dataset},
+        "GENERAL": {"project_name": "qserve", "work_dir": str(tmp_path)},
+    })
+    loader = ENDataLoader(tiny_dataset, validate=False)
+    net = EmbeddingNet(params)
+    net.generate_encodings(loader, max_n_samples=4)
+    engine = InferenceEngine(net, max_batch=4, quantize_db=True)
+    try:
+        import cv2
+        img = rng_np.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        out = engine.infer_one(buf.tobytes())
+        assert out["label"] in loader.class_names
+        assert len(out["top5"]) == 5
+    finally:
+        engine.close()

@@ -207,3 +207,26 @@ def test_remat_training(tmp_path, tiny_dataset, loader):
     trainer = Trainer(params, loader, log_fn=lambda *a: None)
     history = trainer.fit(n_epochs=1)
     assert np.isfinite(history.history["loss"]).all()
+
+
+def test_resume_without_checkpoints_raises(tmp_path, tiny_dataset, loader):
+    params = make_params(tmp_path, tiny_dataset)
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="no checkpoints"):
+        trainer.resume()
+
+
+def test_profiler_trace_hook(tmp_path, tiny_dataset, loader, monkeypatch):
+    """EMBEDDINGNET_PROFILE writes a jax.profiler trace for epoch 0."""
+    import os
+    trace_dir = tmp_path / "trace"
+    monkeypatch.setenv("EMBEDDINGNET_PROFILE", str(trace_dir))
+    params = make_params(tmp_path, tiny_dataset)
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    trainer.fit(n_epochs=1)
+    # trace dir exists and contains profile artifacts
+    found = []
+    for root, _dirs, files in os.walk(trace_dir):
+        found.extend(files)
+    assert found, "no profiler artifacts written"

@@ -23,6 +23,9 @@ def parse_args():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--max_batch", type=int, default=32)
+    parser.add_argument("--quantize_db", action="store_true",
+                        help="int8-quantize the encodings DB (4x less "
+                             "memory, int8 MXU matmuls)")
     return parser.parse_args()
 
 
@@ -36,7 +39,8 @@ def main():
     net = EmbeddingNet(params)
     net.load_model(args.weights)
     net.load_encodings(args.encodings)
-    engine = InferenceEngine(net, max_batch=args.max_batch)
+    engine = InferenceEngine(net, max_batch=args.max_batch,
+                             quantize_db=args.quantize_db)
     server = make_server(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(backbone={params.model.backbone_name}, "
