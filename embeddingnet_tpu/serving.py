@@ -75,8 +75,19 @@ class InferenceEngine:
         self._infer = infer
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        self.ready = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+        # warm the compile off the request path; /healthz reports ready
+        threading.Thread(target=self._warmup, daemon=True).start()
+
+    def _warmup(self):
+        import jax.numpy as jnp
+        h, w, _ = self.net.input_shape
+        dummy = np.zeros((self.max_batch, h, w, 3), np.uint8)
+        out = self._infer(self.net.variables, jnp.asarray(dummy))
+        np.asarray(out[1])
+        self.ready.set()
 
     def _decode(self, data: bytes) -> Optional[np.ndarray]:
         import cv2
@@ -116,7 +127,9 @@ class InferenceEngine:
                 out["top5"] = [self.labels[int(j)] for j in idx5[i]]
                 event.set()
 
-    def infer_one(self, image_bytes: bytes, timeout: float = 30.0) -> dict:
+    def infer_one(self, image_bytes: bytes, timeout: float = 120.0) -> dict:
+        if not self.ready.wait(timeout):
+            raise TimeoutError("model still compiling; try again")
         img = self._decode(image_bytes)
         if img is None:
             raise ValueError("could not decode image bytes")
@@ -149,7 +162,8 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {
-                    "status": "ok",
+                    "status": "ok" if engine.ready.is_set() else "warming",
+                    "ready": engine.ready.is_set(),
                     "backbone": engine.net.params_model["backbone_name"],
                     "encodings_len":
                         engine.net.params_model["encodings_len"],

@@ -46,6 +46,14 @@ class Trainer:
         self.mesh = self._build_mesh()
         self.augment_fn = self._build_augment()
         self._build_module()
+        if params.performance.params_dtype == "bfloat16":
+            # bf16 master weights: halves param HBM; fine for inference-
+            # oriented finetunes, NOT recommended for long from-scratch
+            # runs (Adam update quantization)
+            self.variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+                self.variables)
         self._build_optimizer()
         self._build_steps()
 

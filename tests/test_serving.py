@@ -48,8 +48,14 @@ def _png_bytes(rng, shape=(20, 20, 3)):
 
 def test_healthz(served):
     url, _ = served
-    with urllib.request.urlopen(f"{url}/healthz") as r:
-        data = json.loads(r.read())
+    import time
+    # readiness gate: 'warming' until the compile finishes, then 'ok'
+    for _ in range(120):
+        with urllib.request.urlopen(f"{url}/healthz") as r:
+            data = json.loads(r.read())
+        if data["ready"]:
+            break
+        time.sleep(0.5)
     assert data["status"] == "ok"
     assert data["backbone"] == "simple2"
     assert data["db_size"] > 0
