@@ -158,6 +158,11 @@ class TrainConfig(_SectionBase):
     plateau_factor: float = 0.1
     plateau_patience: int = 4
     early_stopping_patience: int = 10
+    # Retrieval validation: every N epochs encode a capped DB + the val
+    # queries and log recall@1/@5 (0 = off). Beyond the reference, which
+    # only evaluates recall after training (models.py:144-161).
+    eval_recall_every: int = 0
+    eval_recall_max_per_class: int = 10
 
     def __post_init__(self):
         if self.optimizer not in _VALID_OPTIMIZERS:

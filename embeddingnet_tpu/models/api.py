@@ -120,9 +120,18 @@ class EmbeddingNet:
             "paths": data_paths,
             "labels": data_labels,
             "encodings": np.squeeze(np.array(data_encodings)),
+            # provenance: encodings are only valid with the weights that
+            # produced them (mismatch silently predicts one class)
+            "weights_fingerprint": self.weights_fingerprint(),
         }
         self.encoded_training_data = encoded
         return encoded
+
+    def weights_fingerprint(self) -> str:
+        """sha1 of the serialized encoder variables."""
+        import hashlib
+        from flax import serialization as _ser
+        return hashlib.sha1(_ser.to_bytes(self.variables)).hexdigest()[:16]
 
     def encode_dataset(self, paths, batch_size: int = 256,
                        num_workers: int = 8) -> np.ndarray:
@@ -167,6 +176,14 @@ class EmbeddingNet:
         defined (it was a loose function, ``utils.py:29-33``)."""
         with open(path_to_encodings, "rb") as f:
             self.encoded_training_data = pickle.load(f)
+        fp = self.encoded_training_data.get("weights_fingerprint")
+        if fp is not None and fp != self.weights_fingerprint():
+            import warnings
+            warnings.warn(
+                "encodings DB was produced by different weights than the "
+                "loaded model (fingerprint mismatch) — predictions will be "
+                "meaningless; re-run generate_encodings or load the "
+                "matching base_model", stacklevel=2)
         return self.encoded_training_data
 
     # -- classifier over encodings ----------------------------------------

@@ -347,6 +347,9 @@ class Trainer:
             if profile_dir and epoch == self.start_epoch:
                 jax.profiler.stop_trace()
             val_metrics = self._run_val_epoch()
+            every = self.params.train.eval_recall_every
+            if every and (epoch + 1) % every == 0:
+                val_metrics.update(self.evaluate_recall())
             metrics = {**train_metrics, **val_metrics}
             self.history.append(metrics)
             self.metrics_logger.log(epoch, metrics)
@@ -365,6 +368,60 @@ class Trainer:
             if self.early_stop.update(metrics):
                 break
         return self.history
+
+    def evaluate_recall(self):
+        """recall@1/@5: encode a capped train DB + all val images with the
+        current encoder, jitted kNN on device."""
+        import jax.numpy as jnp2
+        from embeddingnet_tpu.data.images import get_images
+        from embeddingnet_tpu.ops import knn as knn_ops
+
+        dl = self.data_loader
+        if not dl.val_data:
+            return {}
+        cap = self.params.train.eval_recall_max_per_class
+        variables = self.encoder_variables()
+        enc = jax.jit(lambda v, x: self.encoder_module.apply(
+            v, x, train=False))
+
+        def encode_paths(paths):
+            out = []
+            for s in range(0, len(paths), 256):
+                imgs = get_images(paths[s:s + 256],
+                                  self.params.model.input_shape)
+                if imgs.size == 0:
+                    continue
+                x = jnp2.asarray(imgs, jnp2.float32) / 255.0
+                out.append(np.asarray(enc(variables, x)))
+            return np.concatenate(out) if out else np.zeros((0, 1))
+
+        db_paths, db_labels = [], []
+        for cls, ps in dl.train_data.items():
+            ps = list(ps)[:cap]
+            db_paths.extend(ps)
+            db_labels.extend([cls] * len(ps))
+        val_paths, val_labels = dl.flat("val")
+        classes = sorted({*db_labels, *val_labels})
+        cid = {c: i for i, c in enumerate(classes)}
+
+        db_emb = encode_paths(db_paths)
+        q_emb = encode_paths(val_paths)
+        if not len(db_emb) or not len(q_emb):
+            return {}
+        k5 = min(5, len(db_labels))
+        pred, _ = knn_ops.knn_classify(
+            jnp2.asarray(db_emb),
+            jnp2.asarray(np.array([cid[l] for l in db_labels], np.int32)),
+            jnp2.asarray(q_emb), k=1, n_classes=len(classes))
+        _, idx5 = knn_ops.knn_neighbors(jnp2.asarray(db_emb),
+                                        jnp2.asarray(q_emb), k=k5)
+        pred = np.asarray(pred)
+        idx5 = np.asarray(idx5)
+        top1 = np.mean([classes[pred[i]] == val_labels[i]
+                        for i in range(len(val_labels))])
+        top5 = np.mean([val_labels[i] in {db_labels[j] for j in idx5[i]}
+                        for i in range(len(val_labels))])
+        return {"val_recall1": float(top1), "val_recall5": float(top5)}
 
     # -- softmax pretraining ----------------------------------------------
 

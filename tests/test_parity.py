@@ -145,12 +145,15 @@ def test_embedding_parity_resnet50():
     np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-4)
 
 
-def test_efficientnet_b0_backbone_parity():
-    """tf.keras EfficientNetB0 (random weights, include_top=False) vs our
+@pytest.mark.parametrize("variant", ["b0", "b1"])
+def test_efficientnet_backbone_parity(variant):
+    """tf.keras EfficientNetB* (random weights, include_top=False) vs our
     Flax EfficientNet with ported weights. Keras embeds Rescaling(1/255) +
     identity Normalization, so keras gets raw 0..255 and ours gets /255."""
     input_shape = (64, 64, 3)
-    keras_model = tf.keras.applications.EfficientNetB0(
+    ctor = {"b0": tf.keras.applications.EfficientNetB0,
+            "b1": tf.keras.applications.EfficientNetB1}[variant]
+    keras_model = ctor(
         weights=None, include_top=False, input_shape=input_shape)
 
     rng = np.random.default_rng(3)
@@ -158,7 +161,7 @@ def test_efficientnet_b0_backbone_parity():
     ref_out = keras_model.predict(raw, verbose=0)
 
     from embeddingnet_tpu.models.efficientnet import build_efficientnet
-    module = build_efficientnet("efficientnet-b0")
+    module = build_efficientnet(f"efficientnet-{variant}")
     params, batch_stats = pretrained.keras_efficientnet_to_flax(keras_model)
     out = np.asarray(module.apply(
         {"params": params, "batch_stats": batch_stats},

@@ -115,7 +115,8 @@ def test_encodings_export_and_knn(tmp_path, tiny_dataset, loader):
         lambda v, x: net.module.apply(v, x, train=False))
 
     db = net.generate_encodings(loader, max_n_samples=5)
-    assert set(db) == {"paths", "labels", "encodings"}
+    # reference pickle contract + the provenance fingerprint extension
+    assert {"paths", "labels", "encodings"} <= set(db)
     assert db["encodings"].shape[1] == 32
     # save/load round trip (pickle contract, models.py:86-90)
     net.save_encodings(db, str(tmp_path), "enc.pkl")
@@ -230,3 +231,37 @@ def test_profiler_trace_hook(tmp_path, tiny_dataset, loader, monkeypatch):
     for root, _dirs, files in os.walk(trace_dir):
         found.extend(files)
     assert found, "no profiler artifacts written"
+
+
+def test_eval_recall_during_training(tmp_path, tiny_dataset, loader):
+    """TRAIN.eval_recall_every logs retrieval metrics per epoch."""
+    params = make_params(tmp_path, tiny_dataset)
+    params.train.eval_recall_every = 1
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    history = trainer.fit(n_epochs=1)
+    assert "val_recall1" in history.history
+    assert "val_recall5" in history.history
+    assert 0.0 <= history.history["val_recall1"][0] <= 1.0
+
+
+def test_encodings_provenance_warning(tmp_path, tiny_dataset, loader):
+    """DB produced by different weights -> loud warning on load."""
+    import warnings as _warnings
+    params = make_params(tmp_path, tiny_dataset)
+    net_a = EmbeddingNet(params)
+    db = net_a.generate_encodings(loader, max_n_samples=3)
+    assert "weights_fingerprint" in db
+    net_a.save_encodings(db, str(tmp_path), "prov.pkl")
+
+    params_b = make_params(tmp_path, tiny_dataset)
+    params_b.general.seed = 123  # different init -> different weights
+    net_b = EmbeddingNet(params_b)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        net_b.load_encodings(str(tmp_path / "prov.pkl"))
+    assert any("fingerprint mismatch" in str(w.message) for w in caught)
+    # matching weights -> no warning
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        net_a.load_encodings(str(tmp_path / "prov.pkl"))
+    assert not any("fingerprint" in str(w.message) for w in caught)
