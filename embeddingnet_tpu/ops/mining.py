@@ -193,38 +193,36 @@ def batch_all_loss_reference(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
     return loss, stats
 
 
-def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
-                       margin: float):
-    """Forward + the analytic weight matrix W (see custom VJP below).
+def batch_all_rowblock(sq: jnp.ndarray, pos_mask: jnp.ndarray,
+                       neg_mask: jnp.ndarray, margin: float):
+    """Per-anchor-row batch-all counting over a [R, B] distance block.
 
-    All counting runs through ONE merged argsort per anchor row instead of
-    ``searchsorted`` — vmapped searchsorted lowers to a serial
-    gather loop on TPU (~140 ms at B=1024); a [B, 2B] bitonic argsort +
-    cumsums is fully vectorized. Per anchor row the merged array holds its
-    B negative squared distances (``+inf`` where not a negative) and its B
-    pair thresholds ``t = sq_ap + margin`` (``-inf`` where not a positive
-    pair); positional cumsums of indicator/value give, at every t, the
-    count ``k`` and value-sum ``P`` of negatives strictly below it, and at
-    every negative, the count ``m`` of thresholds strictly above it.
-    (Stable sort puts equal negatives before thresholds; a tie is a
-    zero-hinge triplet, so either subgradient convention is valid.)
+    The TPU-fast core shared by the single-device and sharded miners.
+    All counting runs through ONE merged key-sort per anchor row instead
+    of ``searchsorted`` — vmapped searchsorted lowers to a serial gather
+    loop on TPU (~140 ms at B=1024); a [R, 2B] bitonic sort + positional
+    cumsums is fully vectorized. Per anchor row the merged array holds
+    its B negative squared distances (``+inf`` where not a negative) and
+    its B pair thresholds ``t = sq_ap + margin`` (``-inf`` where not a
+    positive pair); cumsums of indicator/value give, at every t, the
+    count ``k`` and value-sum ``P`` of negatives strictly below it, and
+    at every negative, the count ``m`` of thresholds strictly above it
+    (stable sort puts equal negatives before thresholds; a tie is a
+    zero-hinge triplet, so either subgradient convention is valid).
+    A second sort keyed on the carried column ids un-sorts the cumulants
+    back to element order — TPU gathers are ~5x slower than sorts.
+
+    Returns ``(pair_sum [R, B], k [R, B], m [R, B])``: the un-normalized
+    per-pair hinge sums, per-pair active-triplet counts, and per-negative
+    dual counts (the +/- entries of the analytic gradient weight matrix).
     """
-    sq = pairwise_sq_l2(embeddings)
-    dist = jnp.sqrt(sq)
-    pos_mask, neg_mask = _masks(labels)
-    b = labels.shape[0]
+    r, b = sq.shape
+    neg_sq = jnp.where(neg_mask, sq, jnp.inf)              # [R, B]
+    t = jnp.where(pos_mask, sq + margin, -jnp.inf)         # [R, B]
 
-    neg_sq = jnp.where(neg_mask, sq, jnp.inf)              # [B, B]
-    t = jnp.where(pos_mask, sq + margin, -jnp.inf)         # [B, B]
-
-    merged = jnp.concatenate([neg_sq, t], axis=1)          # [B, 2B]
+    merged = jnp.concatenate([neg_sq, t], axis=1)          # [R, 2B]
     col_ids = jnp.broadcast_to(jnp.arange(2 * b, dtype=jnp.int32)[None, :],
-                               (b, 2 * b))
-    # TPU gathers are slow (~16 ms per [1024,1024] take_along_axis) while
-    # sorts are fast; so: one stable key-sort carries column ids into rank
-    # order, and after the positional cumsums a SECOND sort keyed on the
-    # column ids un-sorts the cumulants back to element order — zero
-    # gathers end to end.
+                               (r, 2 * b))
     vals_sorted, sorted_col = jax.lax.sort((merged, col_ids), dimension=1,
                                            num_keys=1)
     is_neg_sorted = (sorted_col < b).astype(sq.dtype)
@@ -245,17 +243,28 @@ def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
     p_at_t = u_val[:, b:]
     pair_sum = jnp.where(pos_mask, k * t - p_at_t, 0.0)
 
-    active = jnp.sum(k)
-    loss = jnp.sum(pair_sum) / jnp.maximum(active, 1.0)
-
     # m[a, n] = #valid thresholds of anchor a strictly above sq_an.
     # cum_t at a negative's rank counts t's below it, including the
-    # (B - n_pos) invalid -inf thresholds that sort first.
-    n_pos = jnp.sum(pos_mask, axis=1).astype(sq.dtype)     # [B]
+    # invalid -inf thresholds that sort first.
+    n_pos = jnp.sum(pos_mask, axis=1).astype(sq.dtype)     # [R]
     n_invalid_t = b - n_pos
     t_below = u_t[:, :b]
     m = jnp.maximum(n_pos[:, None] - (t_below - n_invalid_t[:, None]), 0.0)
     m = jnp.where(neg_mask, m, 0.0)
+    return pair_sum, k, m
+
+
+def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
+                       margin: float):
+    """Forward + the analytic weight matrix W (see custom VJP below)."""
+    sq = pairwise_sq_l2(embeddings)
+    dist = jnp.sqrt(sq)
+    pos_mask, neg_mask = _masks(labels)
+
+    pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask, margin)
+
+    active = jnp.sum(k)
+    loss = jnp.sum(pair_sum) / jnp.maximum(active, 1.0)
 
     denom = jnp.maximum(active, 1.0)
     w = (k * pos_mask - m * neg_mask) / denom

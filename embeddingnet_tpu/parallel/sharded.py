@@ -48,58 +48,42 @@ def sharded_batch_all_loss(mesh: Mesh, *, margin: float = 0.5,
     """Build ``fn(embeddings, labels) -> (loss, MiningStats)`` where inputs
     are sharded on the batch axis and each device mines only its anchor
     rows. Exact same value/gradient as ``ops.mining.batch_all_loss``
-    (asserted in ``tests/test_sharded.py``)."""
+    (asserted in ``tests/test_sharded.py``).
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(), P()),
-        check_vma=False)
-    def fn(emb_local: jnp.ndarray, labels_local: jnp.ndarray):
-        # Embeddings are tiny relative to activations: all-gather rides ICI.
+    The gradient is the analytic weight-matrix form (docs/MINING.md) as a
+    custom VJP over shard_map — autodiff through the per-shard sorts
+    would emit scatter-heavy backwards. The backward's cross-shard terms
+    (column sums of W and ``W^T e``) are psums of local-row partials.
+    """
+
+    def _local_counts(emb_local, labels_local):
+        from embeddingnet_tpu.ops.mining import batch_all_rowblock
         emb = jax.lax.all_gather(emb_local, axis, tiled=True)      # [B, D]
         labels = jax.lax.all_gather(labels_local, axis, tiled=True)
-
         b_local = emb_local.shape[0]
         b = emb.shape[0]
-        my = jax.lax.axis_index(axis)
-        row0 = my * b_local
-        row_ids = row0 + jnp.arange(b_local)
-
+        row_ids = jax.lax.axis_index(axis) * b_local + jnp.arange(b_local)
         sq = pairwise_sq_l2(emb_local, emb)                        # [bl, B]
         same = labels_local[:, None] == labels[None, :]
         self_mask = row_ids[:, None] == jnp.arange(b)[None, :]
         pos_mask = same & ~self_mask
         neg_mask = ~same
+        pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask, margin)
+        return sq, pos_mask, neg_mask, pair_sum, k, m, emb, row_ids
 
-        # exact batch-all on local rows, gather-free (the TPU-fast merged
-        # sort/unsort counting formulation of ops.mining._batch_all_forward;
-        # vmapped searchsorted would serialize, gathers are ~5x slower than
-        # sorts on TPU)
-        neg_sq = jnp.where(neg_mask, sq, jnp.inf)
-        t = jnp.where(pos_mask, sq + margin, -jnp.inf)
-        merged = jnp.concatenate([neg_sq, t], axis=1)              # [bl, 2B]
-        col_ids = jnp.broadcast_to(
-            jnp.arange(2 * b, dtype=jnp.int32)[None, :], (b_local, 2 * b))
-        vals_sorted, sorted_col = jax.lax.sort((merged, col_ids),
-                                               dimension=1, num_keys=1)
-        is_neg_sorted = (sorted_col < b).astype(sq.dtype)
-        cum_cnt = jnp.cumsum(is_neg_sorted, axis=1) - is_neg_sorted
-        neg_vals = jnp.where((sorted_col < b) & jnp.isfinite(vals_sorted),
-                             vals_sorted, 0.0)
-        cum_val = jnp.cumsum(neg_vals, axis=1) - neg_vals
-        _, u_cnt, u_val = jax.lax.sort((sorted_col, cum_cnt, cum_val),
-                                       dimension=1, num_keys=1)
-        k = jnp.where(pos_mask, u_cnt[:, b:], 0.0)
-        pair_sum = jnp.where(pos_mask,
-                             jax.lax.stop_gradient(k) *
-                             jnp.where(pos_mask, sq + margin, 0.0)
-                             - u_val[:, b:],
-                             0.0)
-
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=((P(), P()), P(axis)),
+        check_vma=False)
+    def _fwd_sm(emb_local, labels_local):
+        sq, pos_mask, neg_mask, pair_sum, k, m, _emb, _rows = \
+            _local_counts(emb_local, labels_local)
         num = jax.lax.psum(jnp.sum(pair_sum), axis)
         active = jax.lax.psum(jnp.sum(k), axis)
         loss = num / jnp.maximum(active, 1.0)
+        # local W rows, normalized by the global active count
+        w_local = (k * pos_mask - m * neg_mask) / jnp.maximum(active, 1.0)
 
         dist = jnp.sqrt(sq)
         pos_cnt = jax.lax.psum(jnp.sum(pos_mask), axis)
@@ -117,8 +101,50 @@ def sharded_batch_all_loss(mesh: Mesh, *, margin: float = 0.5,
             mean_neg_dist=jax.lax.psum(jnp.sum(dist * neg_mask), axis)
             / jnp.maximum(neg_cnt, 1),
         )
-        return loss, stats
+        return (loss, stats), w_local
 
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False)
+    def _bwd_sm(w_local, emb_local, g_loss):
+        # dL/de_c = 2[(rowsum_c + colsum_c) e_c - (W e)_c - (W^T e)_c];
+        # local rows give rowsum and W@e directly; colsum and W^T e need
+        # contributions from every shard's rows -> psum of partials.
+        emb = jax.lax.all_gather(emb_local, axis, tiled=True)      # [B, D]
+        b_local = emb_local.shape[0]
+        row0 = jax.lax.axis_index(axis) * b_local
+
+        rowsum = jnp.sum(w_local, axis=1)                          # [bl]
+        we = jnp.matmul(w_local, emb,
+                        preferred_element_type=jnp.float32)        # [bl, D]
+        colsum = jax.lax.psum(jnp.sum(w_local, axis=0), axis)      # [B]
+        wte = jax.lax.psum(
+            jnp.matmul(w_local.T, emb_local,
+                       preferred_element_type=jnp.float32), axis)  # [B, D]
+        colsum_local = jax.lax.dynamic_slice_in_dim(colsum, row0, b_local)
+        wte_local = jax.lax.dynamic_slice_in_dim(wte, row0, b_local)
+        grad = 2.0 * ((rowsum + colsum_local)[:, None] * emb_local
+                      - we - wte_local)
+        return g_loss * grad
+
+    @jax.custom_vjp
+    def fn(emb, labels):
+        out, _w = _fwd_sm(emb.astype(jnp.float32), labels)
+        return out
+
+    def fn_fwd(emb, labels):
+        emb32 = emb.astype(jnp.float32)
+        out, w = _fwd_sm(emb32, labels)
+        return out, (w, emb32)
+
+    def fn_bwd(residuals, cotangents):
+        (g_loss, _g_stats) = cotangents
+        w, emb32 = residuals
+        return _bwd_sm(w, emb32, g_loss), None
+
+    fn.defvjp(fn_fwd, fn_bwd)
     return fn
 
 
