@@ -99,6 +99,55 @@ def _bn_params(layer):
             {"mean": mean, "var": var})
 
 
+def torch_resnet_to_flax(state_dict, stage_sizes):
+    """torchvision-format ResNet ``state_dict`` -> (params, batch_stats)
+    for :class:`models.resnet.ResNet` built with the torch conventions:
+    ``stride_in_3x3=True`` (v1.5), ``use_bias=False``, ``bn_epsilon=1e-5``.
+
+    Name mapping: ``conv1/bn1`` stem; ``layer{s}.{b}.conv{i}/bn{i}`` ->
+    ``stage{s}_block{b+1}/conv{i}/bn{i}``; ``downsample.0/.1`` ->
+    ``downsample_conv/bn``. Conv kernels transpose OIHW -> HWIO. The
+    classifier ``fc.*`` is dropped (include_top=False semantics).
+    ``state_dict`` values may be torch tensors or numpy arrays.
+    """
+    def arr(name):
+        v = state_dict[name]
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else \
+            np.asarray(v)
+
+    def conv(name):
+        return {"kernel": np.transpose(arr(name + ".weight"), (2, 3, 1, 0))}
+
+    def bn(name):
+        return ({"scale": arr(name + ".weight"),
+                 "bias": arr(name + ".bias")},
+                {"mean": arr(name + ".running_mean"),
+                 "var": arr(name + ".running_var")})
+
+    params: Dict[str, Any] = {"stem_conv": conv("conv1")}
+    stats: Dict[str, Any] = {}
+    params["stem_bn"], stats["stem_bn"] = bn("bn1")
+
+    n_convs = 3 if any(k.startswith("layer1.0.conv3")
+                       for k in state_dict) else 2
+    for s, n_blocks in enumerate(stage_sizes, start=1):
+        for b in range(n_blocks):
+            prefix = f"layer{s}.{b}"
+            fb: Dict[str, Any] = {}
+            sb: Dict[str, Any] = {}
+            for i in range(1, n_convs + 1):
+                fb[f"conv{i}"] = conv(f"{prefix}.conv{i}")
+                fb[f"bn{i}"], sb[f"bn{i}"] = bn(f"{prefix}.bn{i}")
+            if f"{prefix}.downsample.0.weight" in state_dict:
+                fb["downsample_conv"] = conv(f"{prefix}.downsample.0")
+                fb["downsample_bn"], sb["downsample_bn"] = bn(
+                    f"{prefix}.downsample.1")
+            key = f"stage{s}_block{b + 1}"
+            params[key] = fb
+            stats[key] = sb
+    return params, stats
+
+
 def keras_efficientnet_to_flax(keras_model):
     """tf.keras.applications.EfficientNetB* (include_top=False) ->
     (params, batch_stats) for :class:`models.efficientnet.EfficientNet`.

@@ -58,12 +58,17 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.filters, (3, 3), self.strides, padding="SAME",
+        # explicit symmetric (1,1) padding: equals SAME at stride 1 and
+        # matches torch's conv semantics at stride 2 (TF-SAME pads
+        # asymmetrically there)
+        y = nn.Conv(self.filters, (3, 3), self.strides,
+                    padding=((1, 1), (1, 1)),
                     use_bias=self.use_bias, kernel_init=he_normal(),
                     dtype=self.dtype, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=self.use_bias,
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=self.use_bias,
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv2")(y)
         y = self.norm(name="bn2")(y)
@@ -100,7 +105,8 @@ class BottleneckBlock(nn.Module):
                     name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), s3, padding="SAME", use_bias=self.use_bias,
+        y = nn.Conv(self.filters, (3, 3), s3, padding=((1, 1), (1, 1)),
+                    use_bias=self.use_bias,
                     feature_group_count=self.groups,
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv2")(y)
