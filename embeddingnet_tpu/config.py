@@ -163,6 +163,9 @@ class TrainConfig(_SectionBase):
     # only evaluates recall after training (models.py:144-161).
     eval_recall_every: int = 0
     eval_recall_max_per_class: int = 10
+    # Linear LR warmup over the first N epochs before the step decay
+    # (from-scratch big-batch runs; 0 = reference behavior).
+    warmup_epochs: float = 0.0
 
     def __post_init__(self):
         if self.optimizer not in _VALID_OPTIMIZERS:

@@ -84,6 +84,9 @@ def drop_connect(x, rng, rate: float):
 
 
 class MBConv(nn.Module):
+    """Mobile inverted bottleneck. ``se_ratio=0`` disables SE and
+    ``activation=nn.relu6`` yields the MobileNetV2 inverted residual."""
+
     in_channels: int
     out_channels: int
     expand_ratio: int
@@ -92,6 +95,7 @@ class MBConv(nn.Module):
     se_ratio: float = 0.25
     drop_rate: float = 0.0
     norm: Any = nn.BatchNorm
+    activation: Any = nn.swish
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -103,7 +107,7 @@ class MBConv(nn.Module):
                         kernel_init=conv_init, dtype=self.dtype,
                         name="expand_conv")(x)
             x = self.norm(name="expand_bn")(x)
-            x = nn.swish(x)
+            x = self.activation(x)
         # Depthwise (feature_group_count == channels). SAME padding in XLA
         # matches TF's asymmetric SAME used by keras EfficientNet.
         x = nn.Conv(expanded, (self.kernel, self.kernel),
@@ -112,7 +116,7 @@ class MBConv(nn.Module):
                     kernel_init=conv_init, dtype=self.dtype,
                     name="dw_conv")(x)
         x = self.norm(name="dw_bn")(x)
-        x = nn.swish(x)
+        x = self.activation(x)
         if self.se_ratio:
             x = SqueezeExcite(self.in_channels, self.se_ratio,
                               dtype=self.dtype, name="se")(x)

@@ -45,7 +45,8 @@ _RESNETS = {
 
 def list_backbones():
     return (["simple", "simple2"] + sorted(_RESNETS)
-            + sorted(_efn.SCALINGS) + ["vit-b16", "vit-l14"])
+            + sorted(_efn.SCALINGS)
+            + ["mobilenetv2", "vit-b16", "vit-l14"])
 
 
 def _build_backbone(name: str, encodings_len: int,
@@ -63,6 +64,9 @@ def _build_backbone(name: str, encodings_len: int,
     if name in _efn.SCALINGS:
         return _efn.build_efficientnet(name, bn_momentum=bn_momentum,
                                        dtype=dtype), False
+    if name == "mobilenetv2":
+        from embeddingnet_tpu.models.mobilenet import MobileNetV2
+        return MobileNetV2(bn_momentum=bn_momentum, dtype=dtype), False
     if name.startswith("vit"):
         from embeddingnet_tpu.models.vit import build_vit
         return build_vit(name, dtype=dtype), False

@@ -162,7 +162,8 @@ class Trainer:
         g = self.params.generator
         steps_per_epoch = g.n_batches
         schedule = optim.step_decay_schedule(
-            t.learning_rate, t.decay_factor, t.step_size, steps_per_epoch)
+            t.learning_rate, t.decay_factor, t.step_size, steps_per_epoch,
+            warmup_epochs=t.warmup_epochs)
         base = optim.get_optimizer(t.optimizer, schedule)
         if self.params.model.freeze_backbone:
             mask = backbone_param_mask(self.variables["params"], True)

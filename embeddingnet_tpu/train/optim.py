@@ -19,13 +19,20 @@ import optax
 
 
 def step_decay_schedule(initial_lr: float, decay_factor: float,
-                        step_size_epochs: int, steps_per_epoch: int):
-    """``lr * decay^floor(epoch / step_size)`` (``tools/train.py:80-81``)."""
+                        step_size_epochs: int, steps_per_epoch: int,
+                        warmup_epochs: float = 0.0):
+    """``lr * decay^floor(epoch / step_size)`` (``tools/train.py:80-81``),
+    optionally preceded by a linear warmup over ``warmup_epochs``."""
+
+    warmup_steps = warmup_epochs * max(steps_per_epoch, 1)
 
     def schedule(count):
         epoch = count // max(steps_per_epoch, 1)
-        return initial_lr * decay_factor ** jnp.floor(
+        lr = initial_lr * decay_factor ** jnp.floor(
             epoch / step_size_epochs)
+        if warmup_steps > 0:
+            lr = lr * jnp.minimum(1.0, (count + 1) / warmup_steps)
+        return lr
 
     return schedule
 

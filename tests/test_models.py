@@ -161,3 +161,15 @@ def test_small_input_clear_error():
         init_module("simple", (48, 48, 3))
     with pytest.raises(ValueError, match="needs input >="):
         init_module("simple2", (16, 16, 3))
+
+
+def test_mobilenetv2_backbone():
+    mod, variables, x = init_module("mobilenetv2", (64, 64, 3))
+    emb = mod.apply(variables, x, train=False,
+                    mutable=[] if "batch_stats" in variables else False)
+    if isinstance(emb, tuple):
+        emb = emb[0]
+    assert emb.shape == (2, 64)
+    assert np.isfinite(np.asarray(emb)).all()
+    feats = mod.apply(variables, x, method="features", mutable=[])[0]
+    assert feats.shape[-1] == 1280

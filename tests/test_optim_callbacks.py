@@ -156,3 +156,12 @@ def test_metrics_logger_jsonl(tmp_path):
              open(logger.jsonl_path).read().splitlines()]
     assert lines[0]["loss"] == 1.5
     assert lines[1]["val/loss"] == 1.0
+
+
+def test_warmup_schedule():
+    sched = optim.step_decay_schedule(0.1, 0.5, step_size_epochs=10,
+                                      steps_per_epoch=10, warmup_epochs=2.0)
+    assert float(sched(0)) == pytest.approx(0.1 / 20)   # first step
+    assert float(sched(9)) == pytest.approx(0.1 * 10 / 20)
+    assert float(sched(19)) == pytest.approx(0.1)       # warmup done
+    assert float(sched(50)) == pytest.approx(0.1)       # before decay
