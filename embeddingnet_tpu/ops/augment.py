@@ -29,7 +29,7 @@ approximation (SURVEY.md §7 hard-parts list).
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,11 +10,9 @@ Orbax's atomic write protocol preventing torn checkpoints on preemption
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from embeddingnet_tpu.train.state import TrainState

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from embeddingnet_tpu.models.heads import siamese_l2_distance
 from embeddingnet_tpu.ops import losses as loss_ops
 from embeddingnet_tpu.ops import mining
 from embeddingnet_tpu.train.optim import l2_penalty

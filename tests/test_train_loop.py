@@ -265,3 +265,19 @@ def test_encodings_provenance_warning(tmp_path, tiny_dataset, loader):
         _warnings.simplefilter("always")
         net_a.load_encodings(str(tmp_path / "prov.pkl"))
     assert not any("fingerprint" in str(w.message) for w in caught)
+
+
+def test_stablehlo_export(tmp_path, tiny_dataset, loader):
+    """save_stablehlo writes a deserializable compiled-graph artifact
+    (the ONNX-export analog, models.py:108-113)."""
+    params = make_params(tmp_path, tiny_dataset)
+    net = EmbeddingNet(params)
+    path = net.save_stablehlo(str(tmp_path / "export"))
+    import os
+    assert os.path.getsize(path) > 1000
+    from jax import export as jax_export
+    with open(path, "rb") as f:
+        rehydrated = jax_export.deserialize(f.read())
+    import jax, jax.numpy as jnp
+    out = jax.jit(rehydrated.call)(jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert out.shape == (1, 32)
