@@ -286,6 +286,11 @@ class Params(_SectionBase):
     performance: PerformanceConfig = field(default_factory=PerformanceConfig)
     softmax: Optional[SoftmaxPretrainConfig] = None
 
+    def __contains__(self, key: str) -> bool:
+        # reference idiom: `'softmax' in params` is False unless the
+        # SOFTMAX_PRETRAINING section was present (utils.py:187-194)
+        return getattr(self, key, None) is not None
+
 
 def _build_section(cls, raw: Mapping[str, Any], section: str):
     if raw is None:

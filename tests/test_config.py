@@ -87,7 +87,8 @@ def test_mapping_protocol_compat(ref_config):
     assert params["model"]["mode"] == "triplet"
     assert params["generator"]["batch_size"] == 8
     assert params["train"]["learning_rate"] == 0.001
-    assert "softmax" in params  # attr exists (None when section absent)
+    # reference idiom (tools/train.py:164): key absent when no section
+    assert "softmax" not in params
     assert params.softmax is None
 
 
@@ -115,6 +116,7 @@ def test_softmax_section_optional():
                                 "n_epochs": 2},
         "MODEL": {"input_shape": [32, 32, 3]},
     })
+    assert "softmax" in params  # present exactly when the section exists
     assert params.softmax is not None
     assert params.softmax.optimizer == "adam"
     assert params.softmax.input_shape == (32, 32, 3)
