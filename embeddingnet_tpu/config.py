@@ -260,6 +260,9 @@ class PerformanceConfig(_SectionBase):
     # 0.9 (the reference trains from pretrained weights and never hits
     # this — from-scratch EfficientNet evals collapse until stats warm).
     bn_momentum: float = 0.99
+    # EMA of parameters for eval/export (0 = off). Checkpointed with the
+    # optimizer state; encodings export and recall eval use EMA weights.
+    ema_decay: float = 0.0
 
     def __post_init__(self):
         if self.compute_dtype not in _VALID_DTYPES:

@@ -16,6 +16,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from embeddingnet_tpu.data import BatchLoader, PairSampler, PKSampler, \
     SimpleSampler, TripletSampler
@@ -168,7 +169,11 @@ class Trainer:
         if self.params.model.freeze_backbone:
             mask = backbone_param_mask(self.variables["params"], True)
             base = optim.masked(base, mask)
-        self.optimizer = optim.scaled_by_plateau(base)
+        base = optim.scaled_by_plateau(base)
+        ema = self.params.performance.ema_decay
+        if ema > 0.0:
+            base = optax.chain(base, optim.track_param_ema(ema))
+        self.optimizer = base
         self.state = TrainState.create(
             self.variables, self.optimizer,
             rng=jax.random.PRNGKey(self.params.general.seed + 1))
@@ -530,8 +535,14 @@ class Trainer:
     # -- export ------------------------------------------------------------
 
     def encoder_variables(self):
-        """Variables dict for the encoder view (encodings export, eval)."""
-        params = self._encoder_params()
+        """Variables dict for the encoder view (encodings export, eval).
+        Uses EMA weights when PERFORMANCE.ema_decay is on."""
+        if self.params.performance.ema_decay > 0.0:
+            full = optim.get_ema_params(self.state.opt_state)
+            params = full["encoder"] if self.mode in (
+                "siamese", "arcface") else full
+        else:
+            params = self._encoder_params()
         v = {"params": params}
         bs = self.state.batch_stats
         if bs:

@@ -11,7 +11,7 @@ mutable scale (see callbacks).
 from __future__ import annotations
 
 import re
-from typing import Sequence, Tuple
+from typing import Any, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,17 +64,82 @@ def scaled_by_plateau(opt: optax.GradientTransformation
         lambda plateau_scale: optax.scale(plateau_scale))(plateau_scale=1.0))
 
 
+def _walk_chain(opt_state, pred):
+    """Path (index tuple) to the first element matching ``pred``, searching
+    nested chain tuples — composition-robust lookup."""
+    if pred(opt_state):
+        return ()
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        for i, element in enumerate(opt_state):
+            try:
+                return (i,) + _walk_chain(element, pred)
+            except ValueError:
+                continue
+    raise ValueError("no matching element in optimizer chain state")
+
+
+def _get_at(opt_state, path):
+    for i in path:
+        opt_state = opt_state[i]
+    return opt_state
+
+
+def _set_at(opt_state, path, value):
+    if not path:
+        return value
+    i = path[0]
+    return opt_state[:i] + (_set_at(opt_state[i], path[1:], value),) \
+        + opt_state[i + 1:]
+
+
 def set_plateau_scale(opt_state, scale: float):
     """Return opt_state with the plateau LR multiplier replaced."""
-    inner = opt_state[-1]
+    path = _walk_chain(opt_state, lambda s: hasattr(s, "hyperparams")
+                       and "plateau_scale" in s.hyperparams)
+    inner = _get_at(opt_state, path)
     new_hyper = dict(inner.hyperparams)
     new_hyper["plateau_scale"] = jnp.asarray(scale, jnp.float32)
-    new_inner = inner._replace(hyperparams=new_hyper)
-    return opt_state[:-1] + (new_inner,)
+    return _set_at(opt_state, path, inner._replace(hyperparams=new_hyper))
 
 
 def get_plateau_scale(opt_state) -> float:
-    return float(opt_state[-1].hyperparams["plateau_scale"])
+    path = _walk_chain(opt_state, lambda s: hasattr(s, "hyperparams")
+                       and "plateau_scale" in s.hyperparams)
+    return float(_get_at(opt_state, path).hyperparams["plateau_scale"])
+
+
+class ParamEmaState(NamedTuple):
+    """Exponential moving average of the *parameters* (not updates)."""
+
+    ema: Any
+
+
+def track_param_ema(decay: float) -> optax.GradientTransformation:
+    """Chainable transform keeping an EMA of the post-update parameters in
+    the optimizer state (so it checkpoints/restores with TrainState for
+    free). Evaluation/export with EMA weights smooths the train/eval gap
+    of from-scratch BN nets (see PERFORMANCE.bn_momentum)."""
+
+    def init(params):
+        # materialize a copy: aliasing the live param buffers would make
+        # donated train states contain the same buffer twice
+        return ParamEmaState(ema=jax.tree_util.tree_map(
+            jnp.array, params))
+
+    def update(updates, state, params=None):
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema, new_params)
+        return updates, ParamEmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """Extract the EMA parameter tree from a chained optimizer state."""
+    path = _walk_chain(opt_state, lambda s: isinstance(s, ParamEmaState))
+    return _get_at(opt_state, path).ema
 
 
 def masked(opt: optax.GradientTransformation,

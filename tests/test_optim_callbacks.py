@@ -165,3 +165,23 @@ def test_warmup_schedule():
     assert float(sched(9)) == pytest.approx(0.1 * 10 / 20)
     assert float(sched(19)) == pytest.approx(0.1)       # warmup done
     assert float(sched(50)) == pytest.approx(0.1)       # before decay
+
+
+def test_param_ema_transform():
+    opt = optax.chain(optim.scaled_by_plateau(optax.sgd(1.0)),
+                      optim.track_param_ema(0.9))
+    params = {"w": jnp.zeros(2)}
+    state = opt.init(params)
+    g = {"w": jnp.ones(2)}
+    for _ in range(3):
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    ema = optim.get_ema_params(state)
+    # params walked to -3; ema lags behind
+    np.testing.assert_allclose(np.asarray(params["w"]), -3.0)
+    assert -3.0 < float(ema["w"][0]) < 0.0
+    # plateau scale lookup still works through the nested chain
+    state2 = optim.set_plateau_scale(state, 0.5)
+    assert optim.get_plateau_scale(state2) == pytest.approx(0.5)
+    u2, _ = opt.update(g, state2, params)
+    np.testing.assert_allclose(np.asarray(u2["w"]), -0.5, rtol=1e-6)

@@ -281,3 +281,33 @@ def test_stablehlo_export(tmp_path, tiny_dataset, loader):
     import jax, jax.numpy as jnp
     out = jax.jit(rehydrated.call)(jnp.zeros((1, 32, 32, 3), jnp.float32))
     assert out.shape == (1, 32)
+
+
+def test_ema_training_and_export(tmp_path, tiny_dataset, loader):
+    """PERFORMANCE.ema_decay: EMA rides in the optimizer state, export
+    uses EMA weights, and resume round-trips it."""
+    params = make_params(tmp_path, tiny_dataset)
+    params.performance.ema_decay = 0.9
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    trainer.fit(n_epochs=1)
+
+    from embeddingnet_tpu.train import optim as _optim
+    ema = _optim.get_ema_params(trainer.state.opt_state)
+    live = trainer.state.params
+    import jax
+    ema_leaf = jax.tree_util.tree_leaves(ema)[0]
+    live_leaf = jax.tree_util.tree_leaves(live)[0]
+    assert not np.allclose(np.asarray(ema_leaf), np.asarray(live_leaf))
+
+    # encoder_variables returns the EMA weights
+    v = trainer.encoder_variables()
+    v_leaf = jax.tree_util.tree_leaves(v["params"])[0]
+    np.testing.assert_allclose(np.asarray(v_leaf), np.asarray(ema_leaf))
+
+    # checkpoint round-trip keeps the EMA
+    trainer.ckpt_mgr.close()
+    t2 = Trainer(params, loader, log_fn=lambda *a: None).resume()
+    ema2 = _optim.get_ema_params(t2.state.opt_state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(ema2)[0]),
+        np.asarray(ema_leaf), atol=1e-6)
