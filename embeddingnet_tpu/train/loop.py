@@ -292,17 +292,23 @@ class Trainer:
     # -- epochs ------------------------------------------------------------
 
     def _run_train_epoch(self) -> dict:
-        totals, count = {}, 0
+        totals_dev, count = None, 0
         images_seen = 0
         t0 = time.perf_counter()
         for batch in self._train_loader():
             self.state, metrics = self._dispatch_train(batch)
+            # accumulate ON DEVICE: a per-step float() sync would add a
+            # host round-trip per step and serialize decode with compute;
+            # a bounded periodic sync keeps the dispatch queue shallow
+            totals_dev = metrics if totals_dev is None else \
+                jax.tree_util.tree_map(jnp.add, totals_dev, metrics)
             count += 1
             images_seen += self._batch_images(batch)
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+            if count % 32 == 0:
+                float(totals_dev["loss"])
         elapsed = time.perf_counter() - t0
-        out = {k: v / max(count, 1) for k, v in totals.items()}
+        out = {k: float(v) / max(count, 1)
+               for k, v in (totals_dev or {}).items()}
         out["images_per_sec"] = images_seen / max(elapsed, 1e-9)
         return out
 
