@@ -337,7 +337,7 @@ class Trainer:
         loader = self._val_loader()
         if loader is None:
             return {}
-        totals, count = {}, 0
+        totals_dev, count = None, 0
         for batch in loader:
             images, targets = batch
             if self.mode == "siamese":
@@ -349,10 +349,14 @@ class Trainer:
                 a, p, n = images
                 metrics = self.eval_step(self.state, jnp.asarray(a),
                                          jnp.asarray(p), jnp.asarray(n))
+            # device-side accumulation (same rationale as the train epoch)
+            totals_dev = metrics if totals_dev is None else \
+                jax.tree_util.tree_map(jnp.add, totals_dev, metrics)
             count += 1
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-        return {f"val_{k}": v / max(count, 1) for k, v in totals.items()}
+            if count % 32 == 0:
+                float(totals_dev["loss"])
+        return {f"val_{k}": float(v) / max(count, 1)
+                for k, v in (totals_dev or {}).items()}
 
     def fit(self, n_epochs: Optional[int] = None) -> cb.History:
         import os as _os
