@@ -9,10 +9,13 @@ many small clients.
 
 Endpoints (stdlib http.server, zero extra deps):
 
-* ``POST /classify``  — raw image bytes (jpeg/png) -> ``{"label": ...,
-  "top5": [...]}``
-* ``POST /embed``     — raw image bytes -> ``{"embedding": [...]}``
-* ``GET  /healthz``   — liveness + model/DB metadata
+* ``POST /classify``       — raw image bytes (jpeg/png) ->
+  ``{"label": ..., "top5": [...]}``
+* ``POST /classify_batch`` — concatenated multipart-free batch: body is
+  ``<4-byte big-endian count> (<4-byte length> <image bytes>)*`` ->
+  ``{"labels": [...]}`` — one device program for the whole request
+* ``POST /embed``          — raw image bytes -> ``{"embedding": [...]}``
+* ``GET  /healthz``        — liveness + model/DB metadata
 """
 
 from __future__ import annotations
@@ -127,6 +130,30 @@ class InferenceEngine:
                 out["top5"] = [self.labels[int(j)] for j in idx5[i]]
                 event.set()
 
+    def infer_many(self, images_bytes, timeout: float = 120.0):
+        """Batch entry: decode all, enqueue together (they share device
+        programs via the collector), gather results in order."""
+        pending = []
+        for data in images_bytes:
+            img = self._decode(data)
+            if img is None:
+                pending.append(None)
+                continue
+            event = threading.Event()
+            out: dict = {}
+            self._queue.put((img, event, out))
+            pending.append((event, out))
+        results = []
+        for item in pending:
+            if item is None:
+                results.append(None)
+                continue
+            event, out = item
+            if not event.wait(timeout):
+                raise TimeoutError("inference timed out")
+            results.append(out)
+        return results
+
     def infer_one(self, image_bytes: bytes, timeout: float = 120.0) -> dict:
         if not self.ready.wait(timeout):
             raise TimeoutError("model still compiling; try again")
@@ -175,7 +202,7 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/classify", "/embed"):
+            if self.path not in ("/classify", "/classify_batch", "/embed"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -183,6 +210,27 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 self._send(400, {"error": "empty body; send image bytes"})
                 return
             data = self.rfile.read(length)
+            if self.path == "/classify_batch":
+                import struct
+                try:
+                    (n,) = struct.unpack(">I", data[:4])
+                    images, off = [], 4
+                    for _ in range(n):
+                        (ln,) = struct.unpack(">I", data[off:off + 4])
+                        off += 4
+                        images.append(data[off:off + ln])
+                        off += ln
+                except struct.error:
+                    self._send(400, {"error": "malformed batch framing"})
+                    return
+                try:
+                    results = engine.infer_many(images)
+                except TimeoutError as e:
+                    self._send(503, {"error": str(e)})
+                    return
+                self._send(200, {"labels": [
+                    r["label"] if r else None for r in results]})
+                return
             try:
                 out = engine.infer_one(data)
             except ValueError as e:

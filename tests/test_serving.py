@@ -155,3 +155,28 @@ def test_quantized_engine(tmp_path, tiny_dataset, rng_np):
         assert len(out["top5"]) == 5
     finally:
         engine.close()
+
+
+def test_classify_batch_endpoint(served, tiny_dataset, rng_np):
+    import struct
+    url, loader = served
+    bodies = []
+    for cls in ["class_0", "class_1", "class_2"]:
+        with open(loader.train_data[cls][0], "rb") as f:
+            bodies.append(f.read())
+    bodies.append(b"not an image")  # decode failure slot -> null label
+    payload = struct.pack(">I", len(bodies)) + b"".join(
+        struct.pack(">I", len(b)) + b for b in bodies)
+    req = urllib.request.Request(f"{url}/classify_batch", data=payload,
+                                 method="POST")
+    with urllib.request.urlopen(req) as r:
+        data = json.loads(r.read())
+    assert len(data["labels"]) == 4
+    assert all(l in loader.class_names for l in data["labels"][:3])
+    assert data["labels"][3] is None
+    # malformed framing -> 400
+    req = urllib.request.Request(f"{url}/classify_batch", data=b"\x00\x00",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
