@@ -205,6 +205,58 @@ def keras_efficientnet_to_flax(keras_model):
     return params, stats
 
 
+def keras_mobilenetv2_to_flax(keras_model):
+    """tf.keras.applications.MobileNetV2 (include_top=False) ->
+    (params, batch_stats) for :class:`models.mobilenet.MobileNetV2`.
+
+    Keras numbers blocks sequentially (``expanded_conv`` then
+    ``block_1..block_16``); ours are ``stage{s}_block{r}`` following the
+    (1,2,3,4,3,3,1)-repeat stages — mapped in order. Depthwise kernels
+    transpose (H, W, C, 1) -> (H, W, 1, C). Inputs: keras MobileNetV2
+    expects [-1, 1] preprocessing *outside* the model; feed both the same
+    arrays.
+    """
+    layers = {l.name: l for l in keras_model.layers}
+
+    def conv_w(name, depthwise=False):
+        w = layers[name].get_weights()
+        kernel = np.transpose(w[0], (0, 1, 3, 2)) if depthwise else w[0]
+        out = {"kernel": kernel}
+        if len(w) == 2:
+            out["bias"] = w[1]
+        return out
+
+    params: Dict[str, Any] = {"stem_conv": conv_w("Conv1")}
+    stats: Dict[str, Any] = {}
+    params["stem_bn"], stats["stem_bn"] = _bn_params(layers["bn_Conv1"])
+
+    repeats = (1, 2, 3, 4, 3, 3, 1)
+    seq = 0  # keras sequential block index; 0 == "expanded_conv"
+    for stage, n_blocks in enumerate(repeats, start=1):
+        for rep in range(1, n_blocks + 1):
+            kp = "expanded_conv" if seq == 0 else f"block_{seq}"
+            fb: Dict[str, Any] = {}
+            sb: Dict[str, Any] = {}
+            if f"{kp}_expand" in layers:
+                fb["expand_conv"] = conv_w(f"{kp}_expand")
+                fb["expand_bn"], sb["expand_bn"] = _bn_params(
+                    layers[f"{kp}_expand_BN"])
+            fb["dw_conv"] = conv_w(f"{kp}_depthwise", depthwise=True)
+            fb["dw_bn"], sb["dw_bn"] = _bn_params(
+                layers[f"{kp}_depthwise_BN"])
+            fb["project_conv"] = conv_w(f"{kp}_project")
+            fb["project_bn"], sb["project_bn"] = _bn_params(
+                layers[f"{kp}_project_BN"])
+            key = f"stage{stage}_block{rep}"
+            params[key] = fb
+            stats[key] = sb
+            seq += 1
+
+    params["head_conv"] = conv_w("Conv_1")
+    params["head_bn"], stats["head_bn"] = _bn_params(layers["Conv_1_bn"])
+    return params, stats
+
+
 def keras_resnet50_to_flax(keras_model):
     """tf.keras.applications.ResNet50(include_top=False) -> (params,
     batch_stats) for ``resnet.resnet50(stride_in_3x3=False, use_bias=True)``.

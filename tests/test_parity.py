@@ -169,3 +169,34 @@ def test_efficientnet_backbone_parity(variant):
 
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-2)
+
+
+def test_mobilenetv2_backbone_parity():
+    """tf.keras MobileNetV2 (random weights, include_top=False) vs our
+    Flax MobileNetV2 with ported weights (same [-1,1]-style inputs fed
+    to both — keras V2 preprocesses outside the model)."""
+    input_shape = (64, 64, 3)
+    keras_model = tf.keras.applications.MobileNetV2(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(5)
+    # randomize BN running stats: with the all-zero/one init the outputs
+    # are near-zero and the comparison would be vacuous
+    for l in keras_model.layers:
+        w = l.get_weights()
+        if "BatchNormalization" in l.__class__.__name__ and len(w) == 4:
+            w[2] = rng.normal(0, 0.05, w[2].shape).astype(np.float32)
+            w[3] = rng.uniform(0.6, 1.4, w[3].shape).astype(np.float32)
+            l.set_weights(w)
+    x = rng.uniform(-1, 1, size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+    assert np.abs(ref_out).max() > 0.05  # non-vacuous comparison
+
+    from embeddingnet_tpu.models.mobilenet import MobileNetV2
+    params, batch_stats = pretrained.keras_mobilenetv2_to_flax(keras_model)
+    out = np.asarray(MobileNetV2().apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(x), train=False))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-2)
