@@ -171,3 +171,54 @@ def test_bgr_channel_order(tmp_path):
     loaded = get_image(str(tmp_path / "red.png"))
     assert loaded[..., 2].min() == 255  # stays BGR: red in channel 2
     assert loaded[..., 0].max() == 0
+
+
+def test_csv_google_layout(tmp_path):
+    """is_google=True: <root>/<c0>/<c1>/<c2>/<id>.jpg path scheme
+    (datagenerators.py:79)."""
+    import cv2
+    root = tmp_path / "gdata"
+    rng = np.random.default_rng(0)
+    rows = ["image_id,label"]
+    for i, image_id in enumerate(["abc123", "abd456", "xyz789"]):
+        d = root / image_id[0] / image_id[1] / image_id[2]
+        d.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(d / f"{image_id}.jpg"),
+                    rng.integers(0, 255, (8, 8, 3), dtype=np.uint8))
+        rows.append(f"{image_id},cls_{i % 2}")
+    csv = tmp_path / "g.csv"
+    csv.write_text("\n".join(rows))
+    dl = ENDataLoader(str(root) + "/", train_csv_file=str(csv),
+                      is_google=True, validate=False,
+                      cache_dir=str(tmp_path / "cache"))
+    assert dl.n_classes == 2
+    for paths in dl.train_data.values():
+        for p in paths:
+            assert os.path.isfile(p), p
+
+
+def test_csv_with_separate_val_csv(tiny_dataset, tmp_path):
+    """val_csv_file: train index untouched, val loaded from its own file
+    (datagenerators.py:42-44)."""
+    def write_csv(name, classes, lo, hi):
+        rows = ["file_path,class_name"]
+        for cls in classes:
+            files = sorted(os.listdir(os.path.join(tiny_dataset, cls)))
+            for f in files[lo:hi]:
+                rows.append(f"{cls}/{f},{cls}")
+        p = tmp_path / name
+        p.write_text("\n".join(rows))
+        return str(p)
+
+    classes = [f"class_{i}" for i in range(6)]
+    train_csv = write_csv("train.csv", classes, 0, 8)
+    val_csv = write_csv("val.csv", classes, 8, 10)
+    dl = ENDataLoader(tiny_dataset, train_csv_file=train_csv,
+                      val_csv_file=val_csv,
+                      image_id_column="file_path",
+                      label_column="class_name", validate=True,
+                      cache_dir=str(tmp_path / "cache"))
+    assert all(len(v) == 8 for v in dl.train_data.values())
+    assert all(len(v) == 2 for v in dl.val_data.values())
+    # train data NOT split when a val CSV is given
+    assert dl.train_data == dl.class_files_paths
