@@ -20,10 +20,11 @@ Preset parity (same ops, same probabilities, same parameter ranges):
 * ``plates2``  — CLAHE, flips, brightness, contrast, rot90, HSV, noise,
   center-crop-2/3 + resize back (``augmentations.py:34-51``).
 
-CLAHE note: true CLAHE is tile-local histogram equalization — awkward in
-XLA. This implements contrast-limited *global* equalization on the
-luminance channel (sorted-CDF mapping with clip), a documented
-approximation (SURVEY.md §7 hard-parts list).
+CLAHE: true tile-based CLAHE (per-tile clipped CDFs + bilinear
+interpolation between tile centers) implemented gather-free via
+half-tile-shifted blocking (``clahe_tiled`` — closes the SURVEY.md §7
+hard-part); a cheaper global approximation (``clahe_approx``) remains as
+the fallback for tile-indivisible shapes.
 """
 
 from __future__ import annotations
@@ -192,6 +193,95 @@ def clahe_approx(x: Image, rng: jax.Array, p: float = 0.4,
     return _blend(x, out, _gate(rng, p, b))
 
 
+def clahe_tiled(x: Image, rng: jax.Array, p: float = 0.4,
+                clip_limit: float = 4.0, grid: int = 4,
+                n_bins: int = 64, chunk: int = 32) -> Image:
+    """True tile-based CLAHE on device (grid x grid tiles, bilinear
+    interpolation between tile CDFs — the cv2 algorithm structure).
+
+    Gather-free: pixels are re-blocked on a half-tile-shifted grid where
+    every block shares the same four corner tiles, so the per-pixel CDF
+    lookup becomes a block-wise compare-multiply-reduce against four
+    statically-selected tile CDFs. Requires H and W divisible by
+    ``2 * grid``. Matches a numpy oracle of the same definition exactly;
+    differs from cv2.createCLAHE only in its integer-LUT rounding.
+    """
+    b, hh, ww, _ = x.shape
+    th, tw = hh // grid, ww // grid
+    if th * grid != hh or tw * grid != ww or th % 2 or tw % 2:
+        # fall back for awkward shapes rather than mis-tile
+        return clahe_approx(x, rng, p=p, clip_limit=clip_limit,
+                            n_bins=n_bins, chunk=chunk)
+
+    lum = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]  # BGR
+    bins = jnp.clip((lum / 256.0 * n_bins).astype(jnp.int32), 0, n_bins - 1)
+
+    # per-tile clipped-CDFs: [B, G, G, n_bins]
+    tile_bins = bins.reshape(b, grid, th, grid, tw).transpose(0, 1, 3, 2, 4)
+    tile_bins = tile_bins.reshape(b, grid * grid, th * tw)
+    hists = []
+    for k0 in range(0, n_bins, chunk):
+        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+        hists.append(jnp.sum(
+            (tile_bins[:, :, :, None] == ks[None, None, None, :]
+             ).astype(jnp.float32), axis=2))
+    hist = jnp.concatenate(hists, axis=2)            # [B, G*G, n_bins]
+    npix = th * tw
+    clip_count = clip_limit * npix / n_bins
+    clipped = jnp.minimum(hist, clip_count)
+    excess = (jnp.sum(hist, axis=2, keepdims=True)
+              - jnp.sum(clipped, axis=2, keepdims=True))
+    cdf = jnp.cumsum(clipped + excess / n_bins, axis=2) / npix
+    cdf = cdf.reshape(b, grid, grid, n_bins)
+
+    # half-tile-shifted blocking: edge-pad by (th/2, tw/2); shifted block
+    # (i, j) of the padded image interpolates corner tiles
+    # (i-1, i) x (j-1, j), clamped — identical for every pixel in it.
+    hy, hx = th // 2, tw // 2
+    bins_p = jnp.pad(bins, ((0, 0), (hy, hy), (hx, hx)), mode="edge")
+    gb = grid + 1
+    blocks = bins_p.reshape(b, gb, th, gb, tw).transpose(0, 1, 3, 2, 4)
+    blocks = blocks.reshape(b, gb * gb, th * tw)     # [B, (G+1)^2, npix]
+
+    iy = jnp.arange(gb)
+    low = jnp.clip(iy - 1, 0, grid - 1)              # corner tile indices
+    high = jnp.clip(iy, 0, grid - 1)
+
+    # intra-block bilinear weights (position within the shifted block)
+    py = (jnp.arange(th) + 0.5) / th                 # weight of 'high' in y
+    px = (jnp.arange(tw) + 0.5) / tw
+    wy = jnp.broadcast_to(py[:, None], (th, tw)).reshape(-1)
+    wx = jnp.broadcast_to(px[None, :], (th, tw)).reshape(-1)
+    corner_w = {
+        (0, 0): (1 - wy) * (1 - wx), (0, 1): (1 - wy) * wx,
+        (1, 0): wy * (1 - wx), (1, 1): wy * wx,
+    }
+
+    mapped = jnp.zeros_like(blocks, dtype=jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            ty = (low, high)[dy]
+            tx = (low, high)[dx]
+            # statically-indexed tiny gather: [B, gb, gb, n_bins]
+            csel = cdf[:, ty][:, :, tx].reshape(b, gb * gb, n_bins)
+            # lookup per pixel: sum_k (bin == k) * cdf_sel[..., k]
+            part = jnp.zeros_like(blocks, dtype=jnp.float32)
+            for k0 in range(0, n_bins, chunk):
+                ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+                sel = (blocks[:, :, :, None] == ks[None, None, None, :]
+                       ).astype(jnp.float32)
+                part = part + jnp.einsum("bgpk,bgk->bgp", sel,
+                                         csel[:, :, k0:k0 + chunk])
+            mapped = mapped + corner_w[(dy, dx)][None, None, :] * part
+
+    mapped = mapped.reshape(b, gb, gb, th, tw).transpose(0, 1, 3, 2, 4)
+    mapped = mapped.reshape(b, hh + th, ww + tw)[:, hy:hy + hh, hx:hx + ww]
+    new_lum = mapped * 255.0
+    ratio = (new_lum / jnp.maximum(lum, 1e-3))[..., None]
+    out = jnp.clip(x * ratio, 0, 255)
+    return _blend(x, out, _gate(rng, p, x.shape[0]))
+
+
 # -- geometry --------------------------------------------------------------
 
 def horizontal_flip(x: Image, rng: jax.Array, p: float = 0.5) -> Image:
@@ -318,7 +408,7 @@ def get_aug(name: str = "default", input_shape=None):
             functools.partial(brightness_contrast, p=0.4),
             functools.partial(random_gamma, p=0.4),
             functools.partial(hue_saturation_value, p=0.4),
-            functools.partial(clahe_approx, p=0.4),
+            functools.partial(clahe_tiled, p=0.4),
             functools.partial(blur3, p=0.3),
             functools.partial(gauss_noise, p=0.3, var_limit=(50, 80)),
         ])
@@ -327,7 +417,7 @@ def get_aug(name: str = "default", input_shape=None):
             functools.partial(brightness_contrast, p=0.4),
             functools.partial(random_gamma, p=0.4),
             functools.partial(hue_saturation_value, p=0.4),
-            functools.partial(clahe_approx, p=0.4),
+            functools.partial(clahe_tiled, p=0.4),
             functools.partial(horizontal_flip, p=0.5),
             functools.partial(vertical_flip, p=0.5),
             functools.partial(blur3, p=0.3),
@@ -338,7 +428,7 @@ def get_aug(name: str = "default", input_shape=None):
         return _compose([functools.partial(horizontal_flip, p=0.5)])
     if name == "plates2":
         return _compose([
-            functools.partial(clahe_approx, p=0.3),
+            functools.partial(clahe_tiled, p=0.3),
             functools.partial(horizontal_flip, p=0.5),
             functools.partial(vertical_flip, p=0.5),
             functools.partial(random_brightness, p=0.3),
