@@ -80,7 +80,8 @@ def bench_ours(batch):
     step = jax.jit(
         make_triplet_train_step(module, optimizer, margin=0.5,
                                 mode="batch_all",
-                                compute_dtype=jnp.bfloat16),
+                                compute_dtype=jnp.bfloat16,
+                                max_positives=K_SAMPLES - 1),
         donate_argnums=(0,))
 
     images_np, labels_np = make_batch(batch, IMG)

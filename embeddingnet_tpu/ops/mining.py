@@ -254,14 +254,85 @@ def batch_all_rowblock(sq: jnp.ndarray, pos_mask: jnp.ndarray,
     return pair_sum, k, m
 
 
+def batch_all_rowblock_compressed(sq: jnp.ndarray, pos_mask: jnp.ndarray,
+                                  neg_mask: jnp.ndarray, margin: float,
+                                  max_positives: int):
+    """P-K-optimized variant of :func:`batch_all_rowblock`.
+
+    P-K batches have at most ``k_samples - 1`` positive pairs per anchor,
+    so the threshold side of the merged sort compresses from B columns to
+    ``max_positives`` via ``top_k`` — the sort shrinks from [R, 2B] to
+    [R, B + max_positives] (~2x less sort volume at large B). The
+    per-pair counts are placed back to [R, B] with a cheap
+    [R, B, max_positives] compare-reduce (only W needs positions; the
+    loss itself needs only sums). REQUIRES every anchor to have at most
+    ``max_positives`` positives — callers guard with ``lax.cond``.
+    """
+    r, b = sq.shape
+    kp = max_positives
+    neg_sq = jnp.where(neg_mask, sq, jnp.inf)              # [R, B]
+    t = jnp.where(pos_mask, sq + margin, -jnp.inf)         # [R, B]
+    t_top, t_idx = jax.lax.top_k(t, kp)                    # [R, kp]
+    valid_t = t_top > -jnp.inf / 2
+
+    merged = jnp.concatenate([neg_sq, t_top], axis=1)      # [R, B+kp]
+    width = b + kp
+    col_ids = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.int32)[None, :], (r, width))
+    vals_sorted, sorted_col = jax.lax.sort((merged, col_ids), dimension=1,
+                                           num_keys=1)
+    is_neg_sorted = (sorted_col < b).astype(sq.dtype)
+    cum_cnt = jnp.cumsum(is_neg_sorted, axis=1) - is_neg_sorted
+    neg_vals = jnp.where((sorted_col < b) & jnp.isfinite(vals_sorted),
+                         vals_sorted, 0.0)
+    cum_val = jnp.cumsum(neg_vals, axis=1) - neg_vals
+    is_t_sorted = 1.0 - is_neg_sorted
+    cum_t = jnp.cumsum(is_t_sorted, axis=1) - is_t_sorted
+    _, u_cnt, u_val, u_t = jax.lax.sort(
+        (sorted_col, cum_cnt, cum_val, cum_t), dimension=1, num_keys=1)
+
+    k_top = jnp.where(valid_t, u_cnt[:, b:], 0.0)          # [R, kp]
+    p_top = u_val[:, b:]
+    pair_sum_top = jnp.where(valid_t, k_top * t_top - p_top, 0.0)
+
+    # m: thresholds strictly above each negative; invalid (-inf-padded)
+    # compressed thresholds sort first, count kp - n_pos of them
+    n_pos = jnp.sum(pos_mask, axis=1).astype(sq.dtype)     # [R]
+    n_invalid_t = kp - n_pos
+    t_below = u_t[:, :b]
+    m = jnp.maximum(n_pos[:, None] - (t_below - n_invalid_t[:, None]), 0.0)
+    m = jnp.where(neg_mask, m, 0.0)
+
+    # place per-pair values back to original positions (W needs them):
+    # k[a, p] = sum_j [t_idx[a, j] == p] * k_top[a, j]
+    place = (t_idx[:, None, :] ==
+             jnp.arange(b, dtype=jnp.int32)[None, :, None])  # [R, B, kp]
+    place = place & valid_t[:, None, :]
+    k = jnp.einsum("rbk,rk->rb", place.astype(sq.dtype), k_top)
+    pair_sum = jnp.einsum("rbk,rk->rb", place.astype(sq.dtype),
+                          pair_sum_top)
+    return pair_sum, k, m
+
+
 def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
-                       margin: float):
+                       margin: float, max_positives=None):
     """Forward + the analytic weight matrix W (see custom VJP below)."""
     sq = pairwise_sq_l2(embeddings)
     dist = jnp.sqrt(sq)
     pos_mask, neg_mask = _masks(labels)
 
-    pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask, margin)
+    if max_positives is not None and max_positives < labels.shape[0]:
+        # runtime guard: if any anchor has more positives than the P-K
+        # bound (non-P-K labels), fall back to the full path
+        fits = jnp.max(jnp.sum(pos_mask, axis=1)) <= max_positives
+        pair_sum, k, m = jax.lax.cond(
+            fits,
+            lambda args: batch_all_rowblock_compressed(
+                *args, margin, max_positives),
+            lambda args: batch_all_rowblock(*args, margin),
+            (sq, pos_mask, neg_mask))
+    else:
+        pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask, margin)
 
     active = jnp.sum(k)
     loss = jnp.sum(pair_sum) / jnp.maximum(active, 1.0)
@@ -276,18 +347,20 @@ def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
     return loss, stats, w
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _batch_all_custom(embeddings, labels, margin):
-    loss, stats, _ = _batch_all_forward(embeddings, labels, margin)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _batch_all_custom(embeddings, labels, margin, max_positives):
+    loss, stats, _ = _batch_all_forward(embeddings, labels, margin,
+                                        max_positives)
     return loss, stats
 
 
-def _batch_all_fwd(embeddings, labels, margin):
-    loss, stats, w = _batch_all_forward(embeddings, labels, margin)
+def _batch_all_fwd(embeddings, labels, margin, max_positives):
+    loss, stats, w = _batch_all_forward(embeddings, labels, margin,
+                                        max_positives)
     return (loss, stats), (embeddings.astype(jnp.float32), w)
 
 
-def _batch_all_bwd(margin, residuals, cotangents):
+def _batch_all_bwd(margin, max_positives, residuals, cotangents):
     """Analytic gradient: ``loss_sum = sum_ab W[a,b] * sq[a,b]`` with W
     piecewise-constant in the embeddings, so with ``S = W + W^T``::
 
@@ -309,7 +382,7 @@ _batch_all_custom.defvjp(_batch_all_fwd, _batch_all_bwd)
 
 
 def batch_all_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
-                   margin: float = 0.5):
+                   margin: float = 0.5, max_positives=None):
     """Exact batch-all triplet loss in O(B^2 log B) — no B^3 tensor.
 
     For anchor ``a`` let ``s_a`` be its negative squared distances sorted
@@ -325,12 +398,17 @@ def batch_all_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
     a single MXU matmul. Verified value+gradient against the naive O(B^3)
     oracle in ``tests/test_mining.py``.
     """
-    return _batch_all_custom(embeddings.astype(jnp.float32), labels, margin)
+    # max_positives (P-K batches: k_samples - 1) enables the compressed
+    # threshold-top-k sort (~2x less sort volume at large B) with a
+    # runtime fallback to the full path if any anchor exceeds it.
+    return _batch_all_custom(embeddings.astype(jnp.float32), labels,
+                             margin, max_positives)
 
 
 def mined_triplet_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
                        margin: float = 0.5, mode: str = "semihard",
-                       rng: Optional[jax.Array] = None):
+                       rng: Optional[jax.Array] = None,
+                       max_positives=None):
     """Dispatch to a mining strategy; returns ``(loss, MiningStats)``.
 
     ``mode`` accepts the reference's ``negatives_selection_mode`` values
@@ -350,5 +428,6 @@ def mined_triplet_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
     if mode == "batch_hard":
         return batch_hard_loss(embeddings, labels, margin=margin)
     if mode == "batch_all":
-        return batch_all_loss(embeddings, labels, margin=margin)
+        return batch_all_loss(embeddings, labels, margin=margin,
+                              max_positives=max_positives)
     raise ValueError(f"unknown mining mode {mode!r}; valid: {ALL_MODES}")

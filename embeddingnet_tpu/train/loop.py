@@ -213,7 +213,10 @@ class Trainer:
                 augment_fn=self.augment_fn, reg_rules=reg_rules,
                 compute_dtype=self.compute_dtype,
                 use_pallas=use_pallas,
-                remat=self.params.performance.remat)
+                remat=self.params.performance.remat,
+                # P-K batches bound positives per anchor; enables the
+                # compressed batch-all sort (runtime-guarded)
+                max_positives=max(g.k_samples - 1, 1))
             eval_step = steps.make_triplet_eval_step(
                 self.module, margin=g.margin,
                 compute_dtype=self.compute_dtype)

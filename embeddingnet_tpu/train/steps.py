@@ -64,7 +64,8 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
                             reg_rules: Sequence = (),
                             compute_dtype=jnp.float32,
                             use_pallas: bool = False,
-                            remat: bool = False):
+                            remat: bool = False,
+                            max_positives=None):
     """Online-mining triplet step over P-K batches ``(images, labels)``.
 
     Replaces the reference's generator->predict->sklearn->select pipeline
@@ -87,7 +88,8 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
                 mean_neg_dist=jnp.zeros(()))
             return loss, stats
         return mining.mined_triplet_loss(emb, labels, margin=margin,
-                                         mode=mode, rng=mine_rng)
+                                         mode=mode, rng=mine_rng,
+                                         max_positives=max_positives)
 
     def step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray
              ) -> Tuple[TrainState, dict]:

@@ -161,3 +161,37 @@ def test_stats_fields(rng_np):
     assert 0.0 <= float(stats.frac_mined) <= 1.0
     assert float(stats.mean_pos_dist) > 0
     assert float(stats.mean_neg_dist) > float(stats.mean_pos_dist) * 0.1
+
+
+@pytest.mark.parametrize("k_classes,k_samples", [(8, 4), (16, 8), (5, 3)])
+def test_batch_all_compressed_matches_full(rng_np, k_classes, k_samples):
+    """max_positives (P-K top-k threshold compression) is value- and
+    gradient-identical to the full path."""
+    emb, labels = make_batch(rng_np, k_classes, k_samples)
+    kp = k_samples - 1
+    full, sf = mining.batch_all_loss(jnp.array(emb), jnp.array(labels),
+                                     margin=0.5)
+    comp, sc = mining.batch_all_loss(jnp.array(emb), jnp.array(labels),
+                                     margin=0.5, max_positives=kp)
+    np.testing.assert_allclose(float(comp), float(full), rtol=1e-5)
+    assert int(sc.n_triplets) == int(sf.n_triplets)
+
+    g_full = jax.grad(lambda e: mining.batch_all_loss(
+        e, jnp.array(labels), margin=0.5)[0])(jnp.array(emb))
+    g_comp = jax.grad(lambda e: mining.batch_all_loss(
+        e, jnp.array(labels), margin=0.5,
+        max_positives=kp)[0])(jnp.array(emb))
+    np.testing.assert_allclose(np.asarray(g_comp), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_batch_all_compressed_fallback_on_violation(rng_np):
+    """Labels with more positives than max_positives trigger the runtime
+    fallback to the full path (still exact)."""
+    emb, labels = make_batch(rng_np, k_classes=4, k_samples=6)
+    # claim max_positives=2 but rows have 5 positives -> cond -> full path
+    comp, _ = mining.batch_all_loss(jnp.array(emb), jnp.array(labels),
+                                    margin=0.5, max_positives=2)
+    full, _ = mining.batch_all_loss(jnp.array(emb), jnp.array(labels),
+                                    margin=0.5)
+    np.testing.assert_allclose(float(comp), float(full), rtol=1e-5)
