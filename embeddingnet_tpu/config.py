@@ -73,11 +73,22 @@ class ModelConfig(_SectionBase):
     mode: str = "triplet"
     distance_type: str = "l1"
     backbone_name: str = "simple"
+    # Named presets ('imagenet'/'noisy-student') resolve through
+    # $EMBEDDINGNET_WEIGHTS_DIR at model build, or fail loudly — see
+    # models/pretrained.resolve_weights (zero-egress stand-in for the
+    # reference's download at backbones.py:96-104).
     backbone_weights: Optional[str] = "imagenet"
-    freeze_backbone: bool = False
+    # False | True ('all': freeze the whole backbone) | 'except_last_2'
+    # (reference granularity, backbones.py:106-108).
+    freeze_backbone: object = False
     embeddings_normalization: bool = True
 
     def __post_init__(self):
+        if self.freeze_backbone not in (True, False, None, "all",
+                                        "except_last_2"):
+            raise ConfigError(
+                "MODEL.freeze_backbone must be a bool, 'all', or "
+                f"'except_last_2'; got {self.freeze_backbone!r}")
         self.input_shape = tuple(int(x) for x in self.input_shape)
         if len(self.input_shape) != 3:
             raise ConfigError(

@@ -22,17 +22,26 @@ log = logging.getLogger(__name__)
 
 def get_image(img_path: str,
               input_shape: Optional[Sequence[int]] = None) -> Optional[np.ndarray]:
-    """BGR uint8 image, resized to (input_shape[0], input_shape[1]).
+    """BGR uint8 image, resized to ``(input_shape[0], input_shape[1])`` =
+    (H, W).
 
     Missing/corrupt file -> logs and returns None (reference prints and
     returns None, ``utils.py:15-17``).
+
+    Deliberate deviation: the reference passes ``(input_shape[0],
+    input_shape[1])`` directly as cv2 ``dsize`` (``utils.py:19``), but
+    cv2's dsize is (width, height) — for non-square inputs the reference
+    therefore produces transposed images that crash its own model. Here
+    dsize is ``(W, H)`` so the output is always ``[H, W, 3]``, matching
+    the batch buffers, the native C++ decoder, and MODEL.input_shape.
+    Identical to the reference for the square shapes it ships.
     """
     img = cv2.imread(img_path)
     if img is None:
         log.warning("image does not exist: %s", img_path)
         return None
     if input_shape:
-        img = cv2.resize(img, (input_shape[0], input_shape[1]))
+        img = cv2.resize(img, (input_shape[1], input_shape[0]))
     return img
 
 

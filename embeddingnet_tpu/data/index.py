@@ -100,11 +100,17 @@ class ENDataLoader:
 
     # -- CSV layout --------------------------------------------------------
 
-    def _cache_path(self, csv_file: str) -> str:
+    def _cache_path(self, csv_file: str, image_id_column: str,
+                    label_column: str, is_google: bool) -> str:
         stamp = str(os.path.getmtime(csv_file)) if os.path.exists(csv_file) \
             else "missing"
+        # Key over EVERYTHING that shapes the parsed index, not just the
+        # file — re-reading the same CSV with different column mapping,
+        # layout flag, or dataset root must not hit a stale entry.
         key = hashlib.sha1(
-            f"{os.path.abspath(csv_file)}:{stamp}".encode()).hexdigest()[:16]
+            f"{os.path.abspath(csv_file)}:{stamp}:{image_id_column}:"
+            f"{label_column}:{is_google}:{os.path.abspath(self.dataset_path)}"
+            .encode()).hexdigest()[:16]
         return os.path.join(self.cache_dir, f"index_{key}.pickle")
 
     def _load_from_dataframe(self, csv_file: str, image_id_column: str,
@@ -113,7 +119,8 @@ class ENDataLoader:
         cache_file = None
         if self.cache_index:
             os.makedirs(self.cache_dir, exist_ok=True)
-            cache_file = self._cache_path(csv_file)
+            cache_file = self._cache_path(csv_file, image_id_column,
+                                          label_column, is_google)
             if os.path.isfile(cache_file):
                 with open(cache_file, "rb") as f:
                     return pickle.load(f)

@@ -97,10 +97,16 @@ class BatchLoader:
                     count += 1
             finally:
                 pool.shutdown(wait=False)
-                try:
-                    q.put(sentinel, timeout=1.0)
-                except queue.Full:
-                    pass
+                # The sentinel MUST be delivered or the consumer blocks on
+                # q.get() forever (epoch-end hang whenever decode outpaces
+                # compute and the queue is full) — retry until consumed or
+                # the consumer has signalled stop.
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

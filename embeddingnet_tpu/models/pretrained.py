@@ -22,9 +22,51 @@ that is how the parity tests validate the mapping):
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import os
+from typing import Any, Dict, Optional
 
 import numpy as np
+
+NAMED_PRESETS = ("imagenet", "noisy-student")
+WEIGHTS_DIR_ENV = "EMBEDDINGNET_WEIGHTS_DIR"
+
+
+def resolve_weights(backbone_weights: Optional[str],
+                    backbone_name: str) -> Optional[str]:
+    """Resolve MODEL.backbone_weights to a loadable local file, or None.
+
+    The reference downloads named presets at model build
+    (``embedding_net/backbones.py:96-104``); this framework runs
+    zero-egress, so named presets ('imagenet', 'noisy-student') resolve
+    through a local cache directory ``$EMBEDDINGNET_WEIGHTS_DIR/
+    <backbone>_<preset>.{npz,msgpack}``. A named preset with no cached
+    file FAILS LOUDLY — silently training from random init while the
+    config says 'imagenet' is the one reference behavior we refuse to
+    reproduce quietly.
+    """
+    if not backbone_weights:
+        return None
+    if backbone_weights not in NAMED_PRESETS:
+        if not os.path.isfile(backbone_weights):
+            raise FileNotFoundError(
+                f"MODEL.backbone_weights file not found: "
+                f"{backbone_weights!r}")
+        return backbone_weights
+    weights_dir = os.environ.get(WEIGHTS_DIR_ENV)
+    if weights_dir:
+        for ext in (".npz", ".msgpack"):
+            cand = os.path.join(
+                weights_dir, f"{backbone_name}_{backbone_weights}{ext}")
+            if os.path.isfile(cand):
+                return cand
+    raise FileNotFoundError(
+        f"MODEL.backbone_weights: {backbone_weights!r} is a named preset; "
+        f"this framework performs no downloads. Convert a checkpoint with "
+        f"the keras_*_to_flax / torch_resnet_to_flax converters "
+        f"(embeddingnet_tpu.models.pretrained), save it as "
+        f"<dir>/{backbone_name}_{backbone_weights}.npz, and set "
+        f"{WEIGHTS_DIR_ENV}=<dir> — or set backbone_weights to a local "
+        f"file path / null.")
 
 
 def load_into(variables, weights_path: str):

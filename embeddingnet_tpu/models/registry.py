@@ -239,9 +239,10 @@ def get_backbone(input_shape, encodings_len=4096, backbone_name="simple",
     Returns ``(module, variables)`` — the functional JAX analog of the
     reference's ``(base_model, backbone_model)`` (both views live on the
     single returned module). ``backbone_weights`` accepts a local checkpoint
-    path handled by :mod:`embeddingnet_tpu.models.pretrained`; named presets
-    ('imagenet', 'noisy-student') require a pre-fetched weights file — this
-    framework performs no network downloads.
+    path or a named preset resolved through ``$EMBEDDINGNET_WEIGHTS_DIR``
+    (:func:`embeddingnet_tpu.models.pretrained.resolve_weights`); an
+    unresolvable named preset raises rather than silently returning random
+    init (the reference downloads, ``backbones.py:96-104``).
     """
     module = EmbeddingModule(backbone_name=backbone_name,
                              encodings_len=encodings_len,
@@ -251,21 +252,53 @@ def get_backbone(input_shape, encodings_len=4096, backbone_name="simple",
     dummy = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
     variables = module.init({"params": rng, "dropout": rng}, dummy,
                             train=False, method="init_all")
-    if backbone_weights and backbone_weights not in ("imagenet",
-                                                     "noisy-student"):
-        from embeddingnet_tpu.models import pretrained
-        variables = pretrained.load_into(variables, backbone_weights)
+    from embeddingnet_tpu.models import pretrained
+    weights_path = pretrained.resolve_weights(backbone_weights, backbone_name)
+    if weights_path is not None:
+        variables = pretrained.load_into(variables, weights_path)
     return module, variables
 
 
-def backbone_param_mask(params, freeze_backbone: bool):
-    """True = trainable. With ``freeze_backbone`` the backbone subtree is
-    frozen and only head/classifier train (reference freezes all but the
-    last two backbone layers, ``backbones.py:106-108``; freezing the whole
-    backbone is the standard JAX equivalent — documented difference)."""
+def backbone_param_mask(params, freeze_backbone):
+    """True = trainable. Freeze modes (MODEL.freeze_backbone):
+
+    * ``False`` / ``None`` — everything trains;
+    * ``True`` / ``"all"`` — the whole backbone subtree is frozen, only
+      head/classifier train (the standard JAX transfer-learning setup);
+    * ``"except_last_2"`` — reference-exact granularity
+      (``backbones.py:106-108`` freezes ``backbone_model.layers[:-2]``):
+      the last two top-level backbone submodules stay trainable. Flax
+      param dicts preserve forward (creation) order, so "last two" is
+      well-defined; our submodules are coarser than Keras layers (a
+      residual block vs a conv), documented difference.
+    """
+    if not freeze_backbone:
+        return jax.tree_util.tree_map(lambda _: True, params)
+    mode = "all" if freeze_backbone is True else str(freeze_backbone)
+    if mode not in ("all", "except_last_2"):
+        raise ValueError(
+            f"freeze_backbone must be bool, 'all' or 'except_last_2'; "
+            f"got {freeze_backbone!r}")
+
+    trainable_tails = set()
+    if mode == "except_last_2":
+        def collect(node):
+            if not isinstance(node, dict):
+                return
+            for k, v in node.items():
+                if k == "backbone" and isinstance(v, dict):
+                    trainable_tails.update(list(v.keys())[-2:])
+                else:
+                    collect(v)
+        collect(params)
+
     def mask_fn(path, _):
-        if not freeze_backbone:
+        keys = [getattr(k, "key", None) for k in path]
+        if "backbone" not in keys:
             return True
-        return not any(getattr(k, "key", None) == "backbone" for k in path)
+        if mode == "all":
+            return False
+        after = keys[keys.index("backbone") + 1:]
+        return bool(after) and after[0] in trainable_tails
 
     return jax.tree_util.tree_map_with_path(mask_fn, params)

@@ -97,8 +97,10 @@ class InferenceEngine:
         img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
         if img is None:
             return None
-        return cv2.resize(img, (self.net.input_shape[0],
-                                self.net.input_shape[1]))
+        # cv2 dsize is (W, H); input_shape is (H, W, C) — see
+        # data/images.py:get_image for the documented reference deviation
+        return cv2.resize(img, (self.net.input_shape[1],
+                                self.net.input_shape[0]))
 
     def _loop(self):
         """Collector: drain up to max_batch requests, one device program."""
@@ -133,6 +135,10 @@ class InferenceEngine:
     def infer_many(self, images_bytes, timeout: float = 120.0):
         """Batch entry: decode all, enqueue together (they share device
         programs via the collector), gather results in order."""
+        # Same warmup gate as infer_one: requests during the first compile
+        # should wait for readiness, not burn their timeout in the queue.
+        if not self.ready.wait(timeout):
+            raise TimeoutError("model still compiling; try again")
         pending = []
         for data in images_bytes:
             img = self._decode(data)

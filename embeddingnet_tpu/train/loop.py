@@ -157,6 +157,41 @@ class Trainer:
                 {"params": rng, "dropout": rng}, dummy, train=False,
                 method="init_all")
             self.encoder_module = self.module
+        self._load_backbone_weights()
+
+    def _load_backbone_weights(self):
+        """Apply MODEL.backbone_weights to the freshly initialized tree.
+
+        Named presets resolve through ``$EMBEDDINGNET_WEIGHTS_DIR`` or fail
+        loudly (``pretrained.resolve_weights``) — the reference downloads
+        them at build (``backbones.py:96-104``); silently training from
+        random init is not an acceptable stand-in.
+        """
+        m = self.params.model
+        from embeddingnet_tpu.models import pretrained
+        path = pretrained.resolve_weights(m.backbone_weights,
+                                          m.backbone_name)
+        if path is None:
+            return
+        if self.mode in ("siamese", "arcface"):
+            # weights files use the standalone-encoder layout; the encoder
+            # nests under 'encoder' in these modes
+            view = {"params": self.variables["params"]["encoder"]}
+            bs = self.variables.get("batch_stats")
+            if bs and "encoder" in bs:
+                view["batch_stats"] = bs["encoder"]
+            loaded = pretrained.load_into(view, path)
+            params = dict(self.variables["params"])
+            params["encoder"] = loaded["params"]
+            self.variables = dict(self.variables)
+            self.variables["params"] = params
+            if "batch_stats" in loaded and bs is not None:
+                new_bs = dict(bs)
+                new_bs["encoder"] = loaded["batch_stats"]
+                self.variables["batch_stats"] = new_bs
+        else:
+            self.variables = pretrained.load_into(self.variables, path)
+        self.log(f"loaded backbone weights from {path}")
 
     def _build_optimizer(self):
         t = self.params.train
@@ -167,7 +202,8 @@ class Trainer:
             warmup_epochs=t.warmup_epochs)
         base = optim.get_optimizer(t.optimizer, schedule)
         if self.params.model.freeze_backbone:
-            mask = backbone_param_mask(self.variables["params"], True)
+            mask = backbone_param_mask(self.variables["params"],
+                                       self.params.model.freeze_backbone)
             base = optim.masked(base, mask)
         base = optim.scaled_by_plateau(base)
         ema = self.params.performance.ema_decay
@@ -478,34 +514,50 @@ class Trainer:
         schedule = optim.step_decay_schedule(
             sp.learning_rate, sp.decay_factor, sp.step_size,
             sp.steps_per_epoch)
-        optimizer = optim.get_optimizer(sp.optimizer, schedule)
+        # plateau-scalable LR, same mechanism as the main loop — the
+        # reference's pretraining ReduceLROnPlateau really lowers the LR
+        # (backbones.py:183-196), so must this one
+        optimizer = optim.scaled_by_plateau(
+            optim.get_optimizer(sp.optimizer, schedule))
         state = TrainState.create(variables, optimizer, rng=rng)
         train_step = jax.jit(steps.make_softmax_train_step(
             module, optimizer, n_classes=n_classes,
             augment_fn=self.augment_fn, compute_dtype=self.compute_dtype))
+        eval_step = jax.jit(steps.make_softmax_eval_step(
+            module, n_classes=n_classes, compute_dtype=self.compute_dtype))
 
         sampler = SimpleSampler(self.data_loader.train_data,
                                 self.data_loader.class_names,
                                 batch_size=sp.batch_size,
                                 seed=self.params.general.seed + 11)
-        plateau = cb.ReduceLROnPlateau(monitor="loss", patience=20)
-        early = cb.EarlyStopping(monitor="loss", patience=10)
+        validate = bool(self.data_loader.validate
+                        and self.data_loader.val_data and sp.val_steps > 0)
+        val_sampler = SimpleSampler(
+            self.data_loader.val_data, self.data_loader.class_names,
+            batch_size=sp.batch_size,
+            seed=self.params.general.seed + 12) if validate else None
+        monitor = "val_loss" if validate else "loss"
+        plateau = cb.ReduceLROnPlateau(monitor=monitor, patience=4)
+        early = cb.EarlyStopping(monitor=monitor, patience=10)
+        # EarlyStopping(restore_best_weights=True) parity
+        # (backbones.py:183-196): keep the best-monitored snapshot
+        best_value, best_snapshot = float("inf"), None
         for epoch in range(sp.n_epochs):
-            totals, count = {}, 0
-            loader = BatchLoader(sampler, m.input_shape,
-                                 n_batches=sp.steps_per_epoch)
-            for images, labels in loader:
-                state, metrics = train_step(state, jnp.asarray(images),
-                                            jnp.asarray(labels))
-                count += 1
-                for k, v in metrics.items():
-                    totals[k] = totals.get(k, 0.0) + float(v)
-            epoch_metrics = {k: v / max(count, 1) for k, v in totals.items()}
-            plateau.update(epoch_metrics)  # tracked for logging parity
+            state, epoch_metrics = self._pretrain_epoch(
+                state, train_step, eval_step, sampler, val_sampler, sp)
+            if epoch_metrics.get(monitor, float("inf")) < best_value:
+                best_value = epoch_metrics[monitor]
+                best_snapshot = (state.params, state.batch_stats)
+            scale = plateau.update(epoch_metrics)
+            state = state.replace(
+                opt_state=optim.set_plateau_scale(state.opt_state, scale))
             self.log(f"softmax-pretrain epoch {epoch}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in epoch_metrics.items()))
             if early.update(epoch_metrics):
                 break
+        if best_snapshot is not None:
+            state = state.replace(params=best_snapshot[0],
+                                  batch_stats=best_snapshot[1])
 
         # checkpoint the pretrained backbone (reference keeps a separate
         # pretraining weights dir, backbones.py:177-181)
@@ -519,19 +571,54 @@ class Trainer:
         # hand the pretrained backbone to the embedding model
         new_params = self._with_encoder_params(transfer_backbone_params(
             state.params, self._encoder_params()))
+        return self._finish_pretrain(state, new_params)
+
+    def _pretrain_epoch(self, state, train_step, eval_step, sampler,
+                        val_sampler, sp):
+        """One pretraining epoch: train steps + optional val pass.
+        Returns (state, metrics). Separated so tests can drive the
+        callback stack with scripted metrics."""
+        m = self.params.model
+        totals, count = {}, 0
+        loader = BatchLoader(sampler, m.input_shape,
+                             n_batches=sp.steps_per_epoch)
+        for images, labels in loader:
+            state, metrics = train_step(state, jnp.asarray(images),
+                                        jnp.asarray(labels))
+            count += 1
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        epoch_metrics = {k: v / max(count, 1) for k, v in totals.items()}
+        if val_sampler is not None:
+            vt, vc = {}, 0
+            val_loader = BatchLoader(val_sampler, m.input_shape,
+                                     n_batches=sp.val_steps)
+            for images, labels in val_loader:
+                metrics = eval_step(state, jnp.asarray(images),
+                                    jnp.asarray(labels))
+                vc += 1
+                for k, v in metrics.items():
+                    vt[k] = vt.get(k, 0.0) + float(v)
+            epoch_metrics.update({f"val_{k}": v / max(vc, 1)
+                                  for k, v in vt.items()})
+        return state, epoch_metrics
+
+    def _finish_pretrain(self, state, new_params):
         self.state = self.state.replace(params=new_params)
         # carry over batch stats of the shared backbone
         if state.batch_stats:
             bs = dict(self.state.batch_stats or {})
             src = state.batch_stats.get("backbone")
             if src is not None:
-                if self.mode == "siamese":
+                if self.mode in ("siamese", "arcface"):
+                    # encoder is a named submodule -> stats nest under it
                     enc = dict(bs.get("encoder", {}))
                     enc["backbone"] = src
                     bs["encoder"] = enc
                 else:
                     bs["backbone"] = src
             self.state = self.state.replace(batch_stats=bs)
+        return state
 
     def _encoder_params(self):
         if self.mode in ("siamese", "arcface"):
@@ -539,7 +626,9 @@ class Trainer:
         return self.state.params
 
     def _with_encoder_params(self, encoder_params):
-        if self.mode == "siamese":
+        # siamese/arcface param trees nest the encoder beside sibling
+        # leaves (distance head / class_weights) that must be preserved
+        if self.mode in ("siamese", "arcface"):
             p = dict(self.state.params)
             p["encoder"] = encoder_params
             return p

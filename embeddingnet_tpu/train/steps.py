@@ -243,6 +243,25 @@ def make_softmax_train_step(module, optimizer: optax.GradientTransformation,
     return step
 
 
+def make_softmax_eval_step(module, *, n_classes: int,
+                           compute_dtype=jnp.float32):
+    """Val-mode CE loss + accuracy for the pretraining phase — the
+    reference validates pretraining with a val ``SimpleDataGenerator``
+    (``embedding_net/backbones.py:161-167``)."""
+
+    def step(state: TrainState, images, labels) -> dict:
+        x = (images.astype(jnp.float32) / 255.0).astype(compute_dtype)
+        logits, _ = _apply_model(module, state.params, state.batch_stats,
+                                 x, False, state.rng)
+        logits = logits.astype(jnp.float32)
+        onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return {"loss": loss_ops.softmax_cross_entropy(logits, onehot),
+                "accuracy": acc}
+
+    return step
+
+
 def make_arcface_train_step(module, optimizer: optax.GradientTransformation,
                             *, n_classes: int, margin: float = 0.5,
                             scale: float = 64.0,
