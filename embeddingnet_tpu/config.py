@@ -262,6 +262,9 @@ class PerformanceConfig(_SectionBase):
     params_dtype: str = "float32"
     remat: bool = False
     donate_state: bool = True
+    # DEPRECATED r2: the fused Pallas batch-hard kernel was cut after
+    # measurement (docs/MINING.md "Pallas: win or cut"); accepted for
+    # config compatibility, warned-and-ignored.
     use_pallas_mining: bool = False
     # Sanitizer mode (SURVEY.md §5 race-detection analog): raise on any
     # NaN produced inside jitted computations.

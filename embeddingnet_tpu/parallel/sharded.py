@@ -44,7 +44,7 @@ def shard_train_step(step_fn: Callable, mesh: Mesh, *, donate: bool = True,
 
 
 def sharded_batch_all_loss(mesh: Mesh, *, margin: float = 0.5,
-                           axis: str = "data"):
+                           axis: str = "data", max_positives=None):
     """Build ``fn(embeddings, labels) -> (loss, MiningStats)`` where inputs
     are sharded on the batch axis and each device mines only its anchor
     rows. Exact same value/gradient as ``ops.mining.batch_all_loss``
@@ -54,21 +54,58 @@ def sharded_batch_all_loss(mesh: Mesh, *, margin: float = 0.5,
     custom VJP over shard_map — autodiff through the per-shard sorts
     would emit scatter-heavy backwards. The backward's cross-shard terms
     (column sums of W and ``W^T e``) are psums of local-row partials.
+
+    ``max_positives`` (= k_samples - 1 for P-K batches) enables the
+    sort-free compare-reduce counting (``ops.mining.batch_all_rowblock_pk``,
+    61 ms -> 9.4 ms at B=4096 single-chip) when every shard's rows are
+    whole same-class groups — runtime-guarded with a psum'd predicate so
+    all shards take the same branch, falling back to the rowblock sorts
+    otherwise.
     """
 
     def _local_counts(emb_local, labels_local):
-        from embeddingnet_tpu.ops.mining import batch_all_rowblock
+        from embeddingnet_tpu.ops.mining import (
+            batch_all_rowblock, _pk_block_diag_thresholds, _pk_counts,
+            _pk_place_grouped)
         emb = jax.lax.all_gather(emb_local, axis, tiled=True)      # [B, D]
         labels = jax.lax.all_gather(labels_local, axis, tiled=True)
         b_local = emb_local.shape[0]
         b = emb.shape[0]
-        row_ids = jax.lax.axis_index(axis) * b_local + jnp.arange(b_local)
+        row0 = jax.lax.axis_index(axis) * b_local
+        row_ids = row0 + jnp.arange(b_local)
         sq = pairwise_sq_l2(emb_local, emb)                        # [bl, B]
         same = labels_local[:, None] == labels[None, :]
         self_mask = row_ids[:, None] == jnp.arange(b)[None, :]
         pos_mask = same & ~self_mask
         neg_mask = ~same
-        pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask, margin)
+
+        kk = (max_positives + 1) if max_positives is not None else None
+        if kk and 1 < kk < b_local and b_local % kk == 0:
+            # grouped P-K with groups whole within this shard; AND the
+            # predicate across shards so every device takes one branch
+            blocks = labels_local.reshape(b_local // kk, kk)
+            local_ok = (jnp.all(blocks == blocks[:, :1])
+                        & jnp.all(jnp.sum(pos_mask, axis=1) == kk - 1))
+            all_ok = jax.lax.psum((~local_ok).astype(jnp.int32), axis) == 0
+
+            def pk_path(args):
+                sq_, neg_ = args
+                sq_local = jax.lax.dynamic_slice(
+                    sq_, (0, row0), (b_local, b_local))
+                t_flat = _pk_block_diag_thresholds(sq_local, margin, kk)
+                pair_sum, k_t, m = _pk_counts(sq_, neg_, t_flat)
+                return (_pk_place_grouped(pair_sum, kk, b, row0),
+                        _pk_place_grouped(k_t, kk, b, row0), m)
+
+            def full_path(args):
+                sq_, neg_ = args
+                return batch_all_rowblock(sq_, pos_mask, neg_, margin)
+
+            pair_sum, k, m = jax.lax.cond(all_ok, pk_path, full_path,
+                                          (sq, neg_mask))
+        else:
+            pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask,
+                                                margin)
         return sq, pos_mask, neg_mask, pair_sum, k, m, emb, row_ids
 
     @functools.partial(

@@ -235,20 +235,15 @@ class Trainer:
                 compute_dtype=self.compute_dtype)
             eval_step = None
         else:
-            use_pallas = self.params.performance.use_pallas_mining
-            if use_pallas and self.mesh is not None:
-                # pallas_call has no GSPMD partitioning rules registered;
-                # under a mesh the jnp miner (itself ~3 ms at B=1024) is
-                # the partitionable path
-                self.log("use_pallas_mining disabled under a >1-device "
-                         "mesh; using the jnp miner")
-                use_pallas = False
+            if self.params.performance.use_pallas_mining:
+                self.log("PERFORMANCE.use_pallas_mining was removed in r2 "
+                         "(measured slower than the jnp miner at scale -- "
+                         "docs/MINING.md); ignoring")
             train_step = steps.make_triplet_train_step(
                 self.module, self.optimizer, margin=g.margin,
                 mode=g.negatives_selection_mode,
                 augment_fn=self.augment_fn, reg_rules=reg_rules,
                 compute_dtype=self.compute_dtype,
-                use_pallas=use_pallas,
                 remat=self.params.performance.remat,
                 # P-K batches bound positives per anchor; enables the
                 # compressed batch-all sort (runtime-guarded)

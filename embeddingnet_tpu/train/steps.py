@@ -32,8 +32,22 @@ def _preprocess(images: jnp.ndarray, dtype, augment_fn: Optional[AugmentFn],
     Augmentation operates in 0..255 float space (albumentations semantics,
     ``datagenerators.py:145-156``), normalization after — same order as the
     reference.
+
+    uint8 loads convert through float16 — XLA's direct u8->f32 path does an
+    expensive (32,128)->(8,128) retiling (measured 2.6 ms vs 1.8 ms at
+    [1024,64,64,3], tools/perf_probe2.py); u8 values are exact in f16, so
+    the bridge is lossless. The f16 *multiply* shortcut is only taken when
+    the compute dtype is bf16 (f16 mantissa covers bf16's — no precision
+    loss vs the f32 divide); f32 compute keeps the exact f32 divide for
+    <1e-5 reference parity.
     """
-    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = images.astype(jnp.float16)
+        if augment_fn is None and dtype == jnp.bfloat16:
+            return (x * jnp.float16(1.0 / 255.0)).astype(dtype)
+        x = x.astype(jnp.float32)
+    else:
+        x = images.astype(jnp.float32)
     if augment_fn is not None:
         x = augment_fn(x, rng)
     return (x / 255.0).astype(dtype)
@@ -63,7 +77,6 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
                             augment_fn: Optional[AugmentFn] = None,
                             reg_rules: Sequence = (),
                             compute_dtype=jnp.float32,
-                            use_pallas: bool = False,
                             remat: bool = False,
                             max_positives=None):
     """Online-mining triplet step over P-K batches ``(images, labels)``.
@@ -71,22 +84,10 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
     Replaces the reference's generator->predict->sklearn->select pipeline
     (``datagenerators.py:201-258``) with in-step mining on the *current*
     embeddings (the reference mined on pre-step embeddings — strictly
-    staler; documented improvement). ``use_pallas`` routes ``batch_hard``
-    through the fused Pallas distance+mining kernel
-    (:mod:`embeddingnet_tpu.ops.pallas.mining_kernel`).
+    staler; documented improvement).
     """
 
     def _mine(emb, labels, mine_rng):
-        if use_pallas and mode == "batch_hard":
-            from embeddingnet_tpu.ops.pallas import pallas_batch_hard_loss
-            loss = pallas_batch_hard_loss(emb, labels, margin=margin)
-            # stats via the cheap O(B) pieces only
-            stats = mining.MiningStats(
-                n_triplets=jnp.zeros((), jnp.int32),
-                n_candidates=jnp.zeros((), jnp.int32),
-                frac_mined=jnp.zeros(()), mean_pos_dist=jnp.zeros(()),
-                mean_neg_dist=jnp.zeros(()))
-            return loss, stats
         return mining.mined_triplet_loss(emb, labels, margin=margin,
                                          mode=mode, rng=mine_rng,
                                          max_positives=max_positives)
@@ -132,7 +133,7 @@ def make_triplet_eval_step(module, *, margin: float = 0.5,
 
     def step(state: TrainState, anchors, positives, negatives) -> dict:
         def encode(imgs):
-            x = (imgs.astype(jnp.float32) / 255.0).astype(compute_dtype)
+            x = _preprocess(imgs, compute_dtype, None, None)
             emb, _ = _apply_model(module, state.params, state.batch_stats,
                                   x, False, state.rng)
             return emb.astype(jnp.float32)
@@ -194,8 +195,8 @@ def make_siamese_train_step(module, optimizer: optax.GradientTransformation,
 def make_siamese_eval_step(module, *, contrastive_margin: float = 1.0,
                            compute_dtype=jnp.float32):
     def step(state: TrainState, images_1, images_2, targets) -> dict:
-        x1 = (images_1.astype(jnp.float32) / 255.0).astype(compute_dtype)
-        x2 = (images_2.astype(jnp.float32) / 255.0).astype(compute_dtype)
+        x1 = _preprocess(images_1, compute_dtype, None, None)
+        x2 = _preprocess(images_2, compute_dtype, None, None)
         (d, _e1, _e2), _ = _apply_model(module, state.params,
                                         state.batch_stats, (x1, x2), False,
                                         state.rng)
@@ -250,7 +251,7 @@ def make_softmax_eval_step(module, *, n_classes: int,
     (``embedding_net/backbones.py:161-167``)."""
 
     def step(state: TrainState, images, labels) -> dict:
-        x = (images.astype(jnp.float32) / 255.0).astype(compute_dtype)
+        x = _preprocess(images, compute_dtype, None, None)
         logits, _ = _apply_model(module, state.params, state.batch_stats,
                                  x, False, state.rng)
         logits = logits.astype(jnp.float32)
@@ -300,7 +301,7 @@ def make_eval_step(module, *, compute_dtype=jnp.float32):
     """Plain encode step for encodings export / parity checks."""
 
     def step(state: TrainState, images) -> jnp.ndarray:
-        x = (images.astype(jnp.float32) / 255.0).astype(compute_dtype)
+        x = _preprocess(images, compute_dtype, None, None)
         emb, _ = _apply_model(module, state.params, state.batch_stats, x,
                               False, state.rng)
         return emb.astype(jnp.float32)

@@ -144,3 +144,37 @@ def test_trainer_with_mesh_config(tmp_path, tiny_dataset):
     assert trainer.mesh.shape == {"data": 8, "model": 1}
     history = trainer.fit(n_epochs=1)
     assert np.isfinite(history.history["loss"]).all()
+
+
+def test_sharded_batch_all_pk_matches_single_device(mesh):
+    """max_positives (grouped P-K) path: value + gradient parity with the
+    single-device miner across the 8-device mesh."""
+    emb, labels = make_batch(k_classes=16, k_samples=4)  # 8 rows/shard
+    fn = jax.jit(sharded_batch_all_loss(mesh, margin=0.5, max_positives=3))
+    loss_sharded, stats_sharded = fn(emb, labels)
+    loss_single, stats_single = mining.batch_all_loss(emb, labels,
+                                                      margin=0.5)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)
+    assert int(stats_sharded.n_triplets) == int(stats_single.n_triplets)
+
+    fn2 = sharded_batch_all_loss(mesh, margin=0.5, max_positives=3)
+    g_sharded = jax.grad(lambda e: fn2(e, labels)[0])(emb)
+    g_single = jax.grad(
+        lambda e: mining.batch_all_loss(e, labels, margin=0.5)[0])(emb)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_batch_all_pk_fallback_on_ungrouped(mesh):
+    """Shuffled (non-grouped) labels: the psum'd predicate routes every
+    shard to the rowblock fallback — still exact."""
+    emb, labels = make_batch(k_classes=16, k_samples=4)
+    perm = np.random.default_rng(3).permutation(len(labels))
+    emb = emb[perm]
+    labels = labels[perm]
+    fn = jax.jit(sharded_batch_all_loss(mesh, margin=0.5, max_positives=3))
+    loss_sharded, _ = fn(emb, labels)
+    loss_single, _ = mining.batch_all_loss(emb, labels, margin=0.5)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)
