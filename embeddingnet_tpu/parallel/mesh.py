@@ -24,12 +24,21 @@ def maybe_initialize_distributed():
     (``tools/train.py:124-131``); here process coordination is JAX's and
     cross-host collectives ride DCN automatically."""
     import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
+        return
+    # jax.distributed.initialize() only auto-detects inside managed
+    # clusters (GKE/Slurm); generic launches pass topology explicitly.
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
 
 
 def build_mesh(data: int = -1, model: int = 1,

@@ -439,8 +439,13 @@ class Trainer:
             return {}
         cap = self.params.train.eval_recall_max_per_class
         variables = self.encoder_variables()
-        enc = jax.jit(lambda v, x: self.encoder_module.apply(
-            v, x, train=False))
+        # cache the jitted encoder across epochs (a fresh jax.jit per
+        # eval recompiled every call) and pad the tail chunk so one
+        # [256, H, W, C] program serves every DB size
+        if not hasattr(self, "_recall_enc_jit"):
+            self._recall_enc_jit = jax.jit(
+                lambda v, x: self.encoder_module.apply(v, x, train=False))
+        enc = self._recall_enc_jit
 
         def encode_paths(paths):
             out = []
@@ -449,8 +454,13 @@ class Trainer:
                                   self.params.model.input_shape)
                 if imgs.size == 0:
                     continue
+                n = imgs.shape[0]
+                if n < 256:
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((256 - n,) + imgs.shape[1:],
+                                        imgs.dtype)])
                 x = jnp2.asarray(imgs, jnp2.float32) / 255.0
-                out.append(np.asarray(enc(variables, x)))
+                out.append(np.asarray(enc(variables, x))[:n])
             return np.concatenate(out) if out else np.zeros((0, 1))
 
         db_paths, db_labels = [], []

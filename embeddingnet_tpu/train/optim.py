@@ -41,8 +41,13 @@ def get_optimizer(name: str, learning_rate, **kwargs) -> optax.GradientTransform
     """Name -> optax optimizer (``utils.py:143-153`` dispatch table).
 
     ``learning_rate`` may be a float or an optax schedule. ``radam`` maps
-    to ``optax.radam`` — the rectified-Adam the reference pulls from
-    keras-radam (``utils.py:148-150``).
+    to ``optax.radam`` with ``threshold=4.0`` — keras-radam
+    (``utils.py:148-150``) implements Liu et al. 2019 Algorithm 2, whose
+    variance-tractability gate is ``rho_t > 4``; optax's default
+    threshold is 5.0, which diverges from keras-radam on the first few
+    steps (rho_t crosses 4 -> 5 around steps 5-7 at b2=0.999). Verified
+    step-by-step against a paper-formula oracle in
+    ``tests/test_optim_callbacks.py``.
     """
     name = (name or "sgd").lower()
     if name == "adam":
@@ -50,6 +55,7 @@ def get_optimizer(name: str, learning_rate, **kwargs) -> optax.GradientTransform
     if name == "rms_prop":
         return optax.rmsprop(learning_rate, **kwargs)
     if name == "radam":
+        kwargs.setdefault("threshold", 4.0)
         return optax.radam(learning_rate, **kwargs)
     return optax.sgd(learning_rate, **kwargs)
 
