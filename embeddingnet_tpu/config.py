@@ -269,6 +269,9 @@ class PerformanceConfig(_SectionBase):
     # Sanitizer mode (SURVEY.md §5 race-detection analog): raise on any
     # NaN produced inside jitted computations.
     debug_nans: bool = False
+    # Let Orbax finish checkpoint writes on its background thread while
+    # training continues (epoch-end save no longer blocks the loop).
+    async_checkpoint: bool = False
     # BatchNorm running-stats momentum. Keras default 0.99 needs ~1k steps
     # to warm eval statistics; short-run / from-scratch configs should use
     # 0.9 (the reference trains from pretrained weights and never hits

@@ -336,3 +336,75 @@ def keras_resnet50_to_flax(keras_model):
             params[key] = fb
             stats[key] = sb
     return params, stats
+
+
+def hf_vit_to_flax(state_dict, depth: int):
+    """HuggingFace ``transformers.ViTModel`` state_dict -> params for
+    :class:`models.vit.ViT` (ROADMAP "ViT pretrained-weight converter").
+
+    Name mapping: ``vit.embeddings.patch_embeddings.projection`` ->
+    ``patch_embed`` (OIHW -> HWIO); ``cls_token`` / ``position_embeddings``
+    verbatim; ``vit.encoder.layer.{i}`` -> ``block{i+1}`` with
+    ``layernorm_before/after`` -> ``ln1/ln2``, the q/k/v/out projections
+    reshaped to Flax MultiHeadDotProductAttention's [D, H, hd] / [H, hd, D]
+    layout, ``intermediate/output.dense`` -> ``mlp.fc1/fc2``; final
+    ``vit.layernorm`` -> ``ln_final``. The pooler (if present) is dropped.
+    Values may be torch tensors or numpy arrays. Oracle-tested against a
+    live ``transformers.ViTModel`` forward in ``tests/test_parity.py``.
+    """
+    def arr(name):
+        v = state_dict[name]
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else \
+            np.asarray(v)
+
+    # infer dims
+    pe = arr("vit.embeddings.patch_embeddings.projection.weight")  # OIHW
+    dim = pe.shape[0]
+
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": np.transpose(pe, (2, 3, 1, 0)),
+            "bias": arr("vit.embeddings.patch_embeddings.projection.bias"),
+        },
+        "cls_token": arr("vit.embeddings.cls_token"),
+        "pos_embed": arr("vit.embeddings.position_embeddings"),
+        "ln_final": {"scale": arr("vit.layernorm.weight"),
+                     "bias": arr("vit.layernorm.bias")},
+    }
+
+    # head count: HF stores per-layer qkv as square [D, D] matrices; the
+    # flax layout needs num_heads, taken from the config convention
+    # dim/64 (all ViT-B/L variants use 64-dim heads) unless overridden
+    # via state_dict["__num_heads__"].
+    heads = int(state_dict.get("__num_heads__", dim // 64))
+    hd = dim // heads
+
+    def qkv(name):
+        w = arr(name + ".weight")          # [D_out, D_in] torch
+        b = arr(name + ".bias")
+        return {"kernel": w.T.reshape(dim, heads, hd),
+                "bias": b.reshape(heads, hd)}
+
+    for i in range(depth):
+        p = f"vit.encoder.layer.{i}"
+        out_w = arr(f"{p}.attention.output.dense.weight")   # [D, D]
+        params[f"block{i + 1}"] = {
+            "ln1": {"scale": arr(f"{p}.layernorm_before.weight"),
+                    "bias": arr(f"{p}.layernorm_before.bias")},
+            "attn": {
+                "query": qkv(f"{p}.attention.attention.query"),
+                "key": qkv(f"{p}.attention.attention.key"),
+                "value": qkv(f"{p}.attention.attention.value"),
+                "out": {"kernel": out_w.T.reshape(heads, hd, dim),
+                        "bias": arr(f"{p}.attention.output.dense.bias")},
+            },
+            "ln2": {"scale": arr(f"{p}.layernorm_after.weight"),
+                    "bias": arr(f"{p}.layernorm_after.bias")},
+            "mlp": {
+                "fc1": {"kernel": arr(f"{p}.intermediate.dense.weight").T,
+                        "bias": arr(f"{p}.intermediate.dense.bias")},
+                "fc2": {"kernel": arr(f"{p}.output.dense.weight").T,
+                        "bias": arr(f"{p}.output.dense.bias")},
+            },
+        }
+    return params

@@ -32,7 +32,9 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU: matches torch/HF ViT checkpoints; the tanh
+        # approximation drifts ~1e-3/layer through a 12-block stack
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 

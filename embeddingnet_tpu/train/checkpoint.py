@@ -24,12 +24,16 @@ class CheckpointManager:
 
     def __init__(self, directory: str, max_to_keep: int = 5,
                  save_best_only: bool = True, monitor: str = "val_loss",
-                 mode: str = "min"):
+                 mode: str = "min", async_save: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.save_best_only = save_best_only
         self.monitor = monitor
         self.mode = mode
+        # async_save: let Orbax's background thread finish the write
+        # while training continues (PERFORMANCE.async_checkpoint);
+        # close()/restore() still synchronize, so no torn reads
+        self.async_save = async_save
         self.best: Optional[float] = None
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep, create=True)
@@ -55,7 +59,8 @@ class CheckpointManager:
         self._mgr.save(epoch, args=ocp.args.Composite(
             state=ocp.args.StandardSave(state),
             host=ocp.args.JsonSave(host)))
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         return True
 
     def latest_epoch(self) -> Optional[int]:
@@ -64,6 +69,7 @@ class CheckpointManager:
     def restore(self, state_template: TrainState,
                 epoch: Optional[int] = None):
         """Restore ``(state, host_state)``; ``epoch=None`` -> latest."""
+        self._mgr.wait_until_finished()  # drain any in-flight async save
         epoch = epoch if epoch is not None else self._mgr.latest_step()
         if epoch is None:
             raise FileNotFoundError(
@@ -76,6 +82,7 @@ class CheckpointManager:
         return restored["state"], host
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

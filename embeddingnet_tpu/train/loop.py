@@ -67,7 +67,8 @@ class Trainer:
             patience=params.train.early_stopping_patience)
         self.ckpt_mgr = ckpt.CheckpointManager(
             self.paths["weights"], save_best_only=True,
-            monitor=self._monitor())
+            monitor=self._monitor(),
+            async_save=params.performance.async_checkpoint)
         self.start_epoch = 0
 
         from embeddingnet_tpu.utils.logging import MetricsLogger
@@ -325,11 +326,30 @@ class Trainer:
 
     # -- epochs ------------------------------------------------------------
 
+    def _device_prefetch(self, loader):
+        """Double-buffered host->device transfer: enqueue batch N+1's
+        (async) device_put while step N computes, instead of transferring
+        synchronously inside the dispatch (ROADMAP r1 item). Yields
+        batches already resident on device."""
+        prev = None
+        for batch in loader:
+            images, targets = batch
+            if isinstance(images, tuple):
+                cur = (tuple(self._put_batch(x) for x in images),
+                       self._put_batch(targets))
+            else:
+                cur = (self._put_batch(images), self._put_batch(targets))
+            if prev is not None:
+                yield prev
+            prev = cur
+        if prev is not None:
+            yield prev
+
     def _run_train_epoch(self) -> dict:
         totals_dev, count = None, 0
         images_seen = 0
         t0 = time.perf_counter()
-        for batch in self._train_loader():
+        for batch in self._device_prefetch(self._train_loader()):
             self.state, metrics = self._dispatch_train(batch)
             # accumulate ON DEVICE: a per-step float() sync would add a
             # host round-trip per step and serialize decode with compute;
@@ -347,13 +367,12 @@ class Trainer:
         return out
 
     def _dispatch_train(self, batch):
+        """Batch arrays arrive device-resident via _device_prefetch."""
         images, targets = batch
-        put = self._put_batch
         if self.mode == "siamese":
             (im1, im2) = images
-            return self.train_step(self.state, put(im1), put(im2),
-                                   put(targets))
-        return self.train_step(self.state, put(images), put(targets))
+            return self.train_step(self.state, im1, im2, targets)
+        return self.train_step(self.state, images, targets)
 
     def _put_batch(self, x):
         if self.mesh is None:
@@ -362,10 +381,12 @@ class Trainer:
         return jax.device_put(np.asarray(x), batch_sharding(self.mesh))
 
     def _batch_images(self, batch) -> int:
+        # shape metadata only — np.asarray here would fetch device-
+        # resident batches back to host
         images, _ = batch
         if isinstance(images, tuple):
-            return sum(int(np.asarray(x).shape[0]) for x in images)
-        return int(np.asarray(images).shape[0])
+            return sum(int(x.shape[0]) for x in images)
+        return int(images.shape[0])
 
     def _run_val_epoch(self) -> dict:
         loader = self._val_loader()

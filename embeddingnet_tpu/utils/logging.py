@@ -3,8 +3,9 @@
 The reference logs through Keras ``verbose=1`` plus opt-in TensorBoard and
 wandb callbacks (``tools/train.py:97-104``). Here metrics flow through one
 :class:`MetricsLogger` that always writes JSONL (greppable, plottable) and
-optionally mirrors to TensorBoard (via ``tf.summary`` when TF is present)
-and wandb — both gated exactly like the reference's
+optionally mirrors to TensorBoard (through the pure-Python
+:mod:`embeddingnet_tpu.utils.tb_writer` — no TF dependency) and wandb —
+both gated exactly like the reference's
 ``GENERAL.tensorboard_callback`` / ``GENERAL.wandb_callback`` flags.
 """
 
@@ -25,11 +26,8 @@ class MetricsLogger:
         self._tb_writer = None
         self._wandb = None
         if tensorboard:
-            try:
-                import tensorflow as tf
-                self._tb_writer = tf.summary.create_file_writer(log_dir)
-            except ImportError:
-                pass
+            from embeddingnet_tpu.utils.tb_writer import TBEventWriter
+            self._tb_writer = TBEventWriter(log_dir)
         if wandb_enabled:
             try:
                 import wandb
@@ -47,11 +45,10 @@ class MetricsLogger:
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
         if self._tb_writer is not None:
-            import tensorflow as tf
-            with self._tb_writer.as_default():
-                for k, v in record.items():
-                    if k not in ("step", "time"):
-                        tf.summary.scalar(k, v, step=step)
+            for k, v in record.items():
+                if k not in ("step", "time"):
+                    self._tb_writer.add_scalar(k, v, step)
+            self._tb_writer.flush()
         if self._wandb is not None:
             self._wandb.log({k: v for k, v in record.items()
                              if k not in ("step", "time")}, step=step)

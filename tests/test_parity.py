@@ -200,3 +200,42 @@ def test_mobilenetv2_backbone_parity():
 
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-2)
+
+
+def test_hf_vit_converter_parity():
+    """hf_vit_to_flax vs a live transformers.ViTModel forward (random
+    weights, tiny config) — validates the q/k/v/out reshapes, LN mapping,
+    patch-conv transpose, and the cls/pos handling."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from embeddingnet_tpu.models import pretrained
+    from embeddingnet_tpu.models.vit import ViT
+
+    cfg = transformers.ViTConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, image_size=32, patch_size=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = transformers.ViTModel(cfg, add_pooling_layer=False).eval()
+
+    sd = dict(hf.state_dict())
+    sd = {f"vit.{k}": v for k, v in sd.items()}
+    sd["__num_heads__"] = 2
+    params = pretrained.hf_vit_to_flax(sd, depth=2)
+
+    module = ViT(patch=8, dim=32, depth=2, heads=2)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    ours = module.apply({"params": params}, jnp.asarray(x), train=False)
+
+    with torch.no_grad():
+        hf_out = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                    ).last_hidden_state.numpy()
+    gh = gw = 4
+    grid = hf_out[:, 1:, :].reshape(2, gh, gw, 32)
+    expected = grid + hf_out[:, :1, None, :] / (gh * gw)
+    # f32 contraction-order differences (torch sdpa vs XLA einsum)
+    np.testing.assert_allclose(np.asarray(ours), expected,
+                               rtol=1e-3, atol=1e-4)

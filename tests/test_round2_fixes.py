@@ -264,3 +264,17 @@ def test_csv_cache_key_includes_columns(tmp_path):
                        cache_dir=str(cache))
     assert set(dl1.class_names) == {"x", "y"}
     assert set(dl2.class_names) == {"p", "q"}  # stale-cache bug would say x,y
+
+
+def test_async_checkpoint_roundtrip(tmp_path, tiny_dataset, loader):
+    """PERFORMANCE.async_checkpoint: saves complete in background, resume
+    drains in-flight writes and restores the same state."""
+    params = make_params(tmp_path, tiny_dataset)
+    params.performance.async_checkpoint = True
+    t1 = Trainer(params, loader, log_fn=lambda *a: None)
+    t1.fit(n_epochs=1)
+    step_before = int(t1.state.step)
+    t1.ckpt_mgr.close()
+
+    t2 = Trainer(params, loader, log_fn=lambda *a: None).resume()
+    assert int(t2.state.step) == step_before
