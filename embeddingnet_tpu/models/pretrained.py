@@ -408,3 +408,55 @@ def hf_vit_to_flax(state_dict, depth: int):
             },
         }
     return params
+
+
+def keras_densenet_to_flax(keras_model, block_sizes):
+    """keras.applications.DenseNet* (include_top=False) -> (params,
+    batch_stats) for :class:`models.densenet.DenseNet`.
+
+    Keras names (``conv1/conv`` or ``conv1_conv`` depending on Keras
+    version — normalized here): stem ``conv1``; composite layers
+    ``conv{s+1}_block{b}_{0_bn,1_conv,1_bn,2_conv}`` ->
+    ``stage{s}_block{b}/{bn0,conv1,bn1,conv2}``; transitions ``pool{s+1}_
+    {bn,conv}`` -> ``transition{s}_{bn,conv}``; closing ``bn`` ->
+    ``final_bn``.
+    """
+    layers = {l.name.replace("/", "_"): l for l in keras_model.layers}
+
+    def conv_w(name):
+        w = layers[name].get_weights()
+        return ({"kernel": w[0], "bias": w[1]} if len(w) == 2
+                else {"kernel": w[0]})
+
+    params: Dict[str, Any] = {"stem_conv": conv_w("conv1_conv")}
+    stats: Dict[str, Any] = {}
+    params["stem_bn"], stats["stem_bn"] = _bn_params(layers["conv1_bn"])
+
+    for s, n_layers in enumerate(block_sizes, start=1):
+        for b in range(1, n_layers + 1):
+            kp = f"conv{s + 1}_block{b}"
+            fb: Dict[str, Any] = {}
+            sb: Dict[str, Any] = {}
+            fb["bn0"], sb["bn0"] = _bn_params(layers[f"{kp}_0_bn"])
+            fb["conv1"] = conv_w(f"{kp}_1_conv")
+            fb["bn1"], sb["bn1"] = _bn_params(layers[f"{kp}_1_bn"])
+            fb["conv2"] = conv_w(f"{kp}_2_conv")
+            params[f"stage{s}_block{b}"] = fb
+            stats[f"stage{s}_block{b}"] = sb
+        if s < len(block_sizes):
+            params[f"transition{s}_bn"], stats[f"transition{s}_bn"] = \
+                _bn_params(layers[f"pool{s + 1}_bn"])
+            params[f"transition{s}_conv"] = conv_w(f"pool{s + 1}_conv")
+    params["final_bn"], stats["final_bn"] = _bn_params(layers["bn"])
+    return params, stats
+
+
+def keras_vgg_to_flax(keras_model):
+    """keras.applications.VGG16/19 (include_top=False) -> params for
+    :class:`models.vgg.VGG` — names match 1:1 (``block{b}_conv{c}``)."""
+    params: Dict[str, Any] = {}
+    for layer in keras_model.layers:
+        if layer.__class__.__name__ == "Conv2D":
+            k, b = layer.get_weights()
+            params[layer.name] = {"kernel": k, "bias": b}
+    return params

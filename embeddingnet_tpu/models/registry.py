@@ -46,7 +46,8 @@ _RESNETS = {
 def list_backbones():
     return (["simple", "simple2"] + sorted(_RESNETS)
             + sorted(_efn.SCALINGS)
-            + ["mobilenetv2", "vit-b16", "vit-l14"])
+            + ["mobilenetv2", "densenet121", "densenet169", "densenet201",
+               "vgg16", "vgg19", "vit-b16", "vit-l14"])
 
 
 def _build_backbone(name: str, encodings_len: int,
@@ -67,6 +68,16 @@ def _build_backbone(name: str, encodings_len: int,
     if name == "mobilenetv2":
         from embeddingnet_tpu.models.mobilenet import MobileNetV2
         return MobileNetV2(bn_momentum=bn_momentum, dtype=dtype), False
+    if name.startswith("densenet"):
+        from embeddingnet_tpu.models import densenet as _dn
+        builder = {"densenet121": _dn.densenet121,
+                   "densenet169": _dn.densenet169,
+                   "densenet201": _dn.densenet201}.get(name)
+        if builder:
+            return builder(bn_momentum=bn_momentum, dtype=dtype), False
+    if name in ("vgg16", "vgg19"):
+        from embeddingnet_tpu.models import vgg as _vgg
+        return (getattr(_vgg, name)(dtype=dtype), False)
     if name.startswith("vit"):
         from embeddingnet_tpu.models.vit import build_vit
         return build_vit(name, dtype=dtype), False

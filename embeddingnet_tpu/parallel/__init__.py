@@ -11,3 +11,5 @@ from embeddingnet_tpu.parallel.mesh import (  # noqa: F401
     build_mesh, batch_sharding, replicated)
 from embeddingnet_tpu.parallel.sharded import (  # noqa: F401
     shard_train_step, sharded_batch_all_loss)
+from embeddingnet_tpu.parallel.sharded_knn import (  # noqa: F401
+    sharded_knn, sharded_knn_quantized)

@@ -173,3 +173,21 @@ def test_mobilenetv2_backbone():
     assert np.isfinite(np.asarray(emb)).all()
     feats = mod.apply(variables, x, method="features", mutable=[])[0]
     assert feats.shape[-1] == 1280
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("backbone", ["densenet121", "vgg16"])
+def test_new_zoo_backbones_forward(backbone):
+    """DenseNet/VGG registry entries build and encode (zoo surface,
+    backbones.py:100-104)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    from embeddingnet_tpu.models import EmbeddingModule
+
+    m = EmbeddingModule(backbone_name=backbone, encodings_len=16)
+    v = m.init({"params": _jax.random.PRNGKey(0)},
+               _jnp.zeros((1, 32, 32, 3)), train=False)
+    out = m.apply(v, _jnp.zeros((2, 32, 32, 3)), train=False)
+    assert out.shape == (2, 16)

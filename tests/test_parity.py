@@ -239,3 +239,44 @@ def test_hf_vit_converter_parity():
     # f32 contraction-order differences (torch sdpa vs XLA einsum)
     np.testing.assert_allclose(np.asarray(ours), expected,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_densenet121_backbone_parity():
+    """keras.applications.DenseNet121 (random weights, include_top=False)
+    vs our Flax DenseNet with ported weights."""
+    input_shape = (64, 64, 3)
+    keras_model = tf.keras.applications.DenseNet121(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    from embeddingnet_tpu.models.densenet import densenet121
+    module = densenet121()
+    params, batch_stats = pretrained.keras_densenet_to_flax(
+        keras_model, block_sizes=(6, 12, 24, 16))
+    out = np.asarray(module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(images), train=False))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+
+
+def test_vgg16_backbone_parity():
+    """keras.applications.VGG16 (random weights) vs our Flax VGG16."""
+    input_shape = (64, 64, 3)
+    keras_model = tf.keras.applications.VGG16(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    from embeddingnet_tpu.models.vgg import vgg16
+    module = vgg16()
+    params = pretrained.keras_vgg_to_flax(keras_model)
+    out = np.asarray(module.apply({"params": params},
+                                  jnp.asarray(images), train=False))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)

@@ -178,3 +178,47 @@ def test_sharded_batch_all_pk_fallback_on_ungrouped(mesh):
     loss_single, _ = mining.batch_all_loss(emb, labels, margin=0.5)
     np.testing.assert_allclose(float(loss_sharded), float(loss_single),
                                rtol=1e-5)
+
+
+def test_sharded_knn_matches_single_device(mesh):
+    """DB sharded over 8 devices: predictions, distances and neighbor ids
+    all equal the single-device kNN ops."""
+    from embeddingnet_tpu.ops import knn as knn_ops
+    from embeddingnet_tpu.parallel import sharded_knn
+
+    rng = np.random.default_rng(0)
+    n, d, q, k, n_classes = 256, 16, 10, 5, 12
+    db = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, n_classes, n), jnp.int32)
+    queries = jnp.asarray(rng.normal(size=(q, d)), jnp.float32)
+
+    fn = jax.jit(sharded_knn(mesh, k=k, n_classes=n_classes))
+    pred_s, dist_s, idx_s = fn(db, labels, queries)
+
+    pred_1, _ = knn_ops.knn_classify(db, labels, queries, k=k,
+                                     n_classes=n_classes)
+    dist_1, idx_1 = knn_ops.knn_neighbors(db, queries, k=k)
+    np.testing.assert_array_equal(np.asarray(pred_s), np.asarray(pred_1))
+    np.testing.assert_allclose(np.asarray(dist_s), np.asarray(dist_1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_1))
+
+
+def test_sharded_knn_quantized_agrees(mesh):
+    """Int8 sharded DB: predictions match the single-device quantized kNN
+    and mostly agree with float (quantization tolerance)."""
+    from embeddingnet_tpu.ops import knn as knn_ops
+    from embeddingnet_tpu.parallel import sharded_knn_quantized
+
+    rng = np.random.default_rng(1)
+    n, d, q, k, n_classes = 256, 16, 16, 3, 8
+    db = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, n_classes, n), jnp.int32)
+    queries = jnp.asarray(rng.normal(size=(q, d)), jnp.float32)
+    values, scales = knn_ops.quantize_db(db)
+
+    fn = jax.jit(sharded_knn_quantized(mesh, k=k, n_classes=n_classes))
+    pred_s, _dist, _idx = fn(values, scales, labels, queries)
+    pred_1, _ = knn_ops.knn_classify_quantized(
+        values, scales, labels, queries, k=k, n_classes=n_classes)
+    np.testing.assert_array_equal(np.asarray(pred_s), np.asarray(pred_1))
