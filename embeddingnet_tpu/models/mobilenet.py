@@ -68,3 +68,48 @@ class MobileNetV2(nn.Module):
                     dtype=self.dtype, name="head_conv")(x)
         x = norm(name="head_bn")(x)
         return nn.relu6(x)
+
+
+# (channels, stride) per depthwise-separable block (Howard et al. 2017,
+# keras.applications.MobileNet layer schedule)
+_V1_BLOCKS = (
+    (64, 1), (128, 2), (128, 1), (256, 2), (256, 1), (512, 2),
+    (512, 1), (512, 1), (512, 1), (512, 1), (512, 1), (1024, 2), (1024, 1),
+)
+
+
+class MobileNetV1(nn.Module):
+    """MobileNet v1 — the qubvel zoo's ``mobilenet`` name
+    (``embedding_net/backbones.py:100-104``): 3x3 stem + 13 depthwise-
+    separable conv blocks, relu6, returns the 1024-channel map."""
+
+    width_multiplier: float = 1.0
+    bn_momentum: float = 0.99
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def ch(c):
+            return max(8, int(c * self.width_multiplier + 4) // 8 * 8)
+
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=self.bn_momentum, epsilon=1e-3,
+                       dtype=self.dtype)
+        x = nn.Conv(ch(32), (3, 3), (2, 2), padding="SAME", use_bias=False,
+                    kernel_init=conv_init, dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = norm(name="stem_bn")(x)
+        x = nn.relu6(x)
+        for i, (c, stride) in enumerate(_V1_BLOCKS, start=1):
+            in_ch = x.shape[-1]
+            x = nn.Conv(in_ch, (3, 3), (stride, stride), padding="SAME",
+                        feature_group_count=in_ch, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name=f"block{i}_dw")(x)
+            x = norm(name=f"block{i}_dw_bn")(x)
+            x = nn.relu6(x)
+            x = nn.Conv(ch(c), (1, 1), use_bias=False, kernel_init=conv_init,
+                        dtype=self.dtype, name=f"block{i}_pw")(x)
+            x = norm(name=f"block{i}_pw_bn")(x)
+            x = nn.relu6(x)
+        return x

@@ -451,6 +451,68 @@ def keras_densenet_to_flax(keras_model, block_sizes):
     return params, stats
 
 
+def keras_mobilenetv1_to_flax(keras_model):
+    """keras.applications.MobileNet (v1, include_top=False) -> (params,
+    batch_stats) for :class:`models.mobilenet.MobileNetV1`.
+
+    Construction is strictly sequential on both sides (stem conv + 13
+    dw/pw blocks), so the mapping zips the Conv2D/DepthwiseConv2D layers
+    in order against ``stem_conv, block{i}_dw, block{i}_pw`` (depthwise
+    kernels transpose (H, W, C, 1) -> (H, W, 1, C)).
+    """
+    convs = [l for l in keras_model.layers if l.__class__.__name__
+             in ("Conv2D", "DepthwiseConv2D")]
+    bns = [l for l in keras_model.layers
+           if l.__class__.__name__ == "BatchNormalization"]
+    names = ["stem"]
+    for i in range(1, 14):
+        names += [f"block{i}_dw", f"block{i}_pw"]
+    assert len(convs) == len(bns) == len(names), (len(convs), len(bns))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for name, conv, bnl in zip(names, convs, bns):
+        (kernel,) = conv.get_weights()
+        if conv.__class__.__name__ == "DepthwiseConv2D":
+            kernel = np.transpose(kernel, (0, 1, 3, 2))
+        conv_key = "stem_conv" if name == "stem" else name
+        bn_key = "stem_bn" if name == "stem" else f"{name}_bn"
+        params[conv_key] = {"kernel": kernel}
+        params[bn_key], stats[bn_key] = _bn_params(bnl)
+    return params, stats
+
+
+def keras_inceptionv3_to_flax(keras_model):
+    """keras.applications.InceptionV3 (include_top=False) -> (params,
+    batch_stats) for :class:`models.inception.InceptionV3`.
+
+    Both sides create their 94 conv+BN pairs in the same construction
+    order (our module is written to mirror the keras source), so the
+    mapping zips the layers in *creation* order. ``model.layers`` is
+    topologically sorted, NOT creation-ordered — but keras auto-names
+    (``conv2d``, ``conv2d_1``, ...) carry the creation index, so we sort
+    by that. Keras builds these BNs with ``scale=False`` — weights are
+    ``[beta, mean, var]`` (no gamma), matching our ``use_scale=False``.
+    """
+    def uid(layer):
+        tail = layer.name.rsplit("_", 1)[-1]
+        return int(tail) if tail.isdigit() else -1
+
+    convs = sorted((l for l in keras_model.layers
+                    if l.__class__.__name__ == "Conv2D"), key=uid)
+    bns = sorted((l for l in keras_model.layers
+                  if l.__class__.__name__ == "BatchNormalization"), key=uid)
+    assert len(convs) == len(bns), (len(convs), len(bns))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i, (conv, bnl) in enumerate(zip(convs, bns), start=1):
+        (kernel,) = conv.get_weights()
+        params[f"conv{i}"] = {"kernel": kernel}
+        beta, mean, var = bnl.get_weights()
+        params[f"bn{i}"] = {"bias": beta}
+        stats[f"bn{i}"] = {"mean": mean, "var": var}
+    return params, stats
+
+
 def keras_vgg_to_flax(keras_model):
     """keras.applications.VGG16/19 (include_top=False) -> params for
     :class:`models.vgg.VGG` — names match 1:1 (``block{b}_conv{c}``)."""

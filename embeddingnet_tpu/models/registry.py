@@ -38,15 +38,21 @@ _RESNETS = {
     "seresnet18": _resnet.seresnet18,
     "seresnet34": _resnet.seresnet34,
     "seresnet50": _resnet.seresnet50,
+    "seresnet101": _resnet.seresnet101,
+    "seresnet152": _resnet.seresnet152,
     "resnext50": _resnet.resnext50,
     "resnext101": _resnet.resnext101,
+    "seresnext50": _resnet.seresnext50,
+    "seresnext101": _resnet.seresnext101,
+    "senet154": _resnet.senet154,
 }
 
 
 def list_backbones():
     return (["simple", "simple2"] + sorted(_RESNETS)
             + sorted(_efn.SCALINGS)
-            + ["mobilenetv2", "densenet121", "densenet169", "densenet201",
+            + ["mobilenet", "mobilenetv2", "inceptionv3",
+               "densenet121", "densenet169", "densenet201",
                "vgg16", "vgg19", "vit-b16", "vit-l14"])
 
 
@@ -68,6 +74,12 @@ def _build_backbone(name: str, encodings_len: int,
     if name == "mobilenetv2":
         from embeddingnet_tpu.models.mobilenet import MobileNetV2
         return MobileNetV2(bn_momentum=bn_momentum, dtype=dtype), False
+    if name == "mobilenet":
+        from embeddingnet_tpu.models.mobilenet import MobileNetV1
+        return MobileNetV1(bn_momentum=bn_momentum, dtype=dtype), False
+    if name == "inceptionv3":
+        from embeddingnet_tpu.models.inception import InceptionV3
+        return InceptionV3(bn_momentum=bn_momentum, dtype=dtype), False
     if name.startswith("densenet"):
         from embeddingnet_tpu.models import densenet as _dn
         builder = {"densenet121": _dn.densenet121,

@@ -214,6 +214,28 @@ def seresnet50(**kw) -> ResNet:
                   use_se=True, **kw)
 
 
+def seresnet101(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), block_cls=BottleneckBlock,
+                  use_se=True, **kw)
+
+
+def seresnet152(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 8, 36, 3), block_cls=BottleneckBlock,
+                  use_se=True, **kw)
+
+
+def seresnext50(**kw) -> ResNet:
+    """SE-ResNeXt-50 32x4d (qubvel zoo name ``seresnext50``)."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BottleneckBlock,
+                  groups=32, width_per_group=4, use_se=True, **kw)
+
+
+def seresnext101(**kw) -> ResNet:
+    """SE-ResNeXt-101 32x4d (the zoo's seresnext101 uses base width 4)."""
+    return ResNet(stage_sizes=(3, 4, 23, 3), block_cls=BottleneckBlock,
+                  groups=32, width_per_group=4, use_se=True, **kw)
+
+
 def resnext50(**kw) -> ResNet:
     """ResNeXt-50 32x4d."""
     return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BottleneckBlock,
@@ -224,3 +246,76 @@ def resnext101(**kw) -> ResNet:
     """ResNeXt-101 32x8d."""
     return ResNet(stage_sizes=(3, 4, 23, 3), block_cls=BottleneckBlock,
                   groups=32, width_per_group=8, **kw)
+
+
+class SENet154Block(nn.Module):
+    """The SENet-154 bottleneck (Hu et al. 2018, the competition model;
+    qubvel zoo name ``senet154``): 1x1 -> planes*2, grouped 3x3 ->
+    planes*4 (groups=64), 1x1 -> planes*4, SE(reduction 16); the
+    downsample shortcut uses a 3x3 conv (pad 1) instead of 1x1."""
+
+    planes: int
+    strides: tuple = (1, 1)
+    norm: Callable = nn.BatchNorm
+    groups: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out_ch = self.planes * 4
+        y = nn.Conv(self.planes * 2, (1, 1), use_bias=False,
+                    kernel_init=he_normal(), dtype=self.dtype,
+                    name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (3, 3), self.strides, padding=((1, 1), (1, 1)),
+                    feature_group_count=self.groups, use_bias=False,
+                    kernel_init=he_normal(), dtype=self.dtype,
+                    name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, kernel_init=he_normal(),
+                    dtype=self.dtype, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        y = SEModule(out_ch, dtype=self.dtype, name="se")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(out_ch, (3, 3), self.strides,
+                               padding=((1, 1), (1, 1)), use_bias=False,
+                               kernel_init=he_normal(), dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(residual + y)
+
+
+class SENet154(nn.Module):
+    """SENet-154 backbone: 3-conv stem (64, 64, 128) + (3, 8, 36, 3)
+    stages of :class:`SENet154Block`. Returns the final 2048-ch map."""
+
+    bn_epsilon: float = 1e-5
+    bn_momentum: float = 0.99
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                       dtype=self.dtype)
+        for i, (ch, s) in enumerate(((64, 2), (64, 1), (128, 1)), start=1):
+            x = nn.Conv(ch, (3, 3), (s, s), padding=((1, 1), (1, 1)),
+                        use_bias=False, kernel_init=he_normal(),
+                        dtype=self.dtype, name=f"stem_conv{i}")(x)
+            x = norm(name=f"stem_bn{i}")(x)
+            x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, block_count in enumerate((3, 8, 36, 3)):
+            for j in range(block_count):
+                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                x = SENet154Block(planes=64 * 2 ** i, strides=strides,
+                                  norm=norm, dtype=self.dtype,
+                                  name=f"stage{i + 1}_block{j + 1}")(x)
+        return x
+
+
+def senet154(**kw) -> SENet154:
+    return SENet154(**kw)

@@ -178,16 +178,20 @@ def test_mobilenetv2_backbone():
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("backbone", ["densenet121", "vgg16"])
-def test_new_zoo_backbones_forward(backbone):
-    """DenseNet/VGG registry entries build and encode (zoo surface,
-    backbones.py:100-104)."""
+@_pytest.mark.parametrize("backbone,px", [
+    ("densenet121", 32), ("vgg16", 32), ("mobilenet", 32),
+    ("seresnext50", 32), ("senet154", 32), ("inceptionv3", 96),
+])
+def test_new_zoo_backbones_forward(backbone, px):
+    """Zoo registry entries build and encode (reference zoo surface,
+    backbones.py:100-104 reaches these via classification_models)."""
     import jax as _jax
     import jax.numpy as _jnp
     from embeddingnet_tpu.models import EmbeddingModule
 
     m = EmbeddingModule(backbone_name=backbone, encodings_len=16)
     v = m.init({"params": _jax.random.PRNGKey(0)},
-               _jnp.zeros((1, 32, 32, 3)), train=False)
-    out = m.apply(v, _jnp.zeros((2, 32, 32, 3)), train=False)
+               _jnp.zeros((1, px, px, 3)), train=False)
+    out = m.apply(v, _jnp.zeros((2, px, px, 3)), train=False)
     assert out.shape == (2, 16)
+    assert np.isfinite(np.asarray(out)).all()

@@ -263,6 +263,49 @@ def test_densenet121_backbone_parity():
     np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
 
 
+def test_inceptionv3_backbone_parity():
+    """keras.applications.InceptionV3 (random weights, include_top=False)
+    vs our Flax InceptionV3 — validates the construction-order zip in
+    ``keras_inceptionv3_to_flax`` end to end (94 conv+BN pairs)."""
+    input_shape = (96, 96, 3)
+    keras_model = tf.keras.applications.InceptionV3(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(4)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    from embeddingnet_tpu.models.inception import InceptionV3
+    module = InceptionV3()
+    params, batch_stats = pretrained.keras_inceptionv3_to_flax(keras_model)
+    out = np.asarray(module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(images), train=False))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+
+
+def test_mobilenetv1_backbone_parity():
+    """keras.applications.MobileNet (v1, random weights) vs our Flax
+    MobileNetV1 with order-zipped weights."""
+    input_shape = (64, 64, 3)
+    keras_model = tf.keras.applications.MobileNet(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(5)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    from embeddingnet_tpu.models.mobilenet import MobileNetV1
+    module = MobileNetV1()
+    params, batch_stats = pretrained.keras_mobilenetv1_to_flax(keras_model)
+    out = np.asarray(module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(images), train=False))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=1e-3, rtol=1e-3)
+
+
 def test_vgg16_backbone_parity():
     """keras.applications.VGG16 (random weights) vs our Flax VGG16."""
     input_shape = (64, 64, 3)

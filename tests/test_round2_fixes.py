@@ -229,6 +229,44 @@ def test_pretrain_arcface_handoff(tmp_path, tiny_dataset, loader):
     assert np.isfinite(history.history["loss"]).all()
 
 
+def test_pretrained_weight_flow_end_to_end(tmp_path, tiny_dataset, loader):
+    """ROADMAP: the full pretrained-weight flow — softmax-pretrain a
+    backbone, export it as ``.npz`` (the converter exchange format),
+    start a NEW training via ``MODEL.backbone_weights``, and verify the
+    weights actually flowed (initial embeddings match the donor) and
+    train normally from there."""
+    from embeddingnet_tpu.models import pretrained
+
+    params = make_params(tmp_path, tiny_dataset)
+    params.softmax = SoftmaxPretrainConfig(
+        optimizer="adam", learning_rate=1e-3, n_epochs=1, batch_size=4,
+        steps_per_epoch=2, val_steps=0, input_shape=params.model.input_shape)
+    donor = Trainer(params, loader, log_fn=lambda *a: None)
+    donor.pretrain_softmax()
+    wfile = tmp_path / "pretrained_backbone.npz"
+    np.savez(wfile, **pretrained.flatten_params(
+        {"params": donor.state.params,
+         "batch_stats": donor.state.batch_stats}))
+
+    params2 = make_params(tmp_path, tiny_dataset,
+                          extra_model={"backbone_weights": str(wfile)})
+    params2.general.seed = 7  # different random init; file must win
+    t2 = Trainer(params2, loader, log_fn=lambda *a: None)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(
+            t2.state.params["backbone"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(
+            donor.state.params["backbone"])[0]))
+
+    before = np.asarray(jax.tree_util.tree_leaves(
+        t2.state.params["backbone"])[0]).copy()
+    history = t2.fit(n_epochs=1)
+    assert np.isfinite(history.history["loss"]).all()
+    after = np.asarray(jax.tree_util.tree_leaves(
+        t2.state.params["backbone"])[0])
+    assert not np.allclose(before, after)  # pretrained init trained on
+
+
 # -- decode pipeline sentinel (ADVICE medium #1) ------------------------------
 
 def test_pipeline_sentinel_delivered_when_queue_full(tiny_dataset):
