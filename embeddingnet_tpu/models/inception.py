@@ -110,3 +110,110 @@ class InceptionV3(nn.Module):
 
 def inceptionv3(**kw) -> InceptionV3:
     return InceptionV3(**kw)
+
+
+class InceptionResNetV2(nn.Module):
+    """Inception-ResNet-v2 (Szegedy et al. 2017) — another
+    ``classification_models`` zoo name (``backbones.py:100-104``).
+
+    Mirrors keras.applications.inception_resnet_v2: bias-free conv +
+    BN(scale=False, eps 1e-3) + relu everywhere EXCEPT each residual
+    block's final 1x1 projection, which has a bias and no BN (the keras
+    ``conv2d_bn(..., use_bias=True)`` branch skips BN); residuals are
+    added with a per-block-type scale. Conv/BN creation order matches the
+    keras source so ``pretrained.keras_inception_resnet_v2_to_flax``
+    ports weights by construction order. Returns the final 1536-ch map.
+    """
+
+    bn_momentum: float = 0.99
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        counter = [0]
+
+        def cb(y, filters, kh, kw, strides=(1, 1), padding="SAME",
+               activation=True, use_bias=False):
+            counter[0] += 1
+            i = counter[0]
+            y = nn.Conv(filters, (kh, kw), strides, padding=padding,
+                        use_bias=use_bias, dtype=self.dtype,
+                        name=f"conv{i}")(y)
+            if not use_bias:
+                y = nn.BatchNorm(use_running_average=not train,
+                                 momentum=self.bn_momentum, epsilon=1e-3,
+                                 use_scale=False, dtype=self.dtype,
+                                 name=f"bn{i}")(y)
+            return nn.relu(y) if activation else y
+
+        cat = lambda parts: jnp.concatenate(parts, axis=-1)
+
+        def block35(y, scale=0.17):
+            b0 = cb(y, 32, 1, 1)
+            b1 = cb(cb(y, 32, 1, 1), 32, 3, 3)
+            b2 = cb(cb(cb(y, 32, 1, 1), 48, 3, 3), 64, 3, 3)
+            up = cb(cat([b0, b1, b2]), y.shape[-1], 1, 1,
+                    activation=False, use_bias=True)
+            return nn.relu(y + scale * up)
+
+        def block17(y, scale=0.1):
+            b0 = cb(y, 192, 1, 1)
+            b1 = cb(cb(cb(y, 128, 1, 1), 160, 1, 7), 192, 7, 1)
+            up = cb(cat([b0, b1]), y.shape[-1], 1, 1,
+                    activation=False, use_bias=True)
+            return nn.relu(y + scale * up)
+
+        def block8(y, scale=0.2, activation=True):
+            b0 = cb(y, 192, 1, 1)
+            b1 = cb(cb(cb(y, 192, 1, 1), 224, 1, 3), 256, 3, 1)
+            up = cb(cat([b0, b1]), y.shape[-1], 1, 1,
+                    activation=False, use_bias=True)
+            y = y + scale * up
+            return nn.relu(y) if activation else y
+
+        # stem
+        x = cb(x, 32, 3, 3, strides=(2, 2), padding="VALID")
+        x = cb(x, 32, 3, 3, padding="VALID")
+        x = cb(x, 64, 3, 3)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = cb(x, 80, 1, 1, padding="VALID")
+        x = cb(x, 192, 3, 3, padding="VALID")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        # mixed_5b (Inception-A base)
+        b0 = cb(x, 96, 1, 1)
+        b1 = cb(cb(x, 48, 1, 1), 64, 5, 5)
+        b2 = cb(cb(cb(x, 64, 1, 1), 96, 3, 3), 96, 3, 3)
+        bp = cb(_avg_pool_same(x), 64, 1, 1)
+        x = cat([b0, b1, b2, bp])
+
+        for _ in range(10):
+            x = block35(x)
+
+        # mixed_6a (reduction)
+        b0 = cb(x, 384, 3, 3, strides=(2, 2), padding="VALID")
+        b1 = cb(cb(cb(x, 256, 1, 1), 256, 3, 3), 384, 3, 3,
+                strides=(2, 2), padding="VALID")
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = cat([b0, b1, bp])
+
+        for _ in range(20):
+            x = block17(x)
+
+        # mixed_7a (reduction)
+        b0 = cb(cb(x, 256, 1, 1), 384, 3, 3, strides=(2, 2), padding="VALID")
+        b1 = cb(cb(x, 256, 1, 1), 288, 3, 3, strides=(2, 2), padding="VALID")
+        b2 = cb(cb(cb(x, 256, 1, 1), 288, 3, 3), 320, 3, 3,
+                strides=(2, 2), padding="VALID")
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = cat([b0, b1, b2, bp])
+
+        for _ in range(9):
+            x = block8(x)
+        x = block8(x, scale=1.0, activation=False)
+
+        return cb(x, 1536, 1, 1)  # conv_7b
+
+
+def inceptionresnetv2(**kw) -> InceptionResNetV2:
+    return InceptionResNetV2(**kw)

@@ -513,6 +513,68 @@ def keras_inceptionv3_to_flax(keras_model):
     return params, stats
 
 
+def keras_inception_resnet_v2_to_flax(keras_model):
+    """keras.applications.InceptionResNetV2 (include_top=False) ->
+    (params, batch_stats) for :class:`models.inception.InceptionResNetV2`.
+
+    Keras leaves branch convs auto-named (``conv2d_N`` — creation order in
+    the uid) but names each residual block's biased projection
+    (``block35_{i}_conv`` etc., no BN) and the closing ``conv_7b``. The
+    mapping replays the construction sequence: bias-free convs consume the
+    uid-sorted unnamed conv/BN streams; biased projections resolve by
+    block name.
+    """
+    def uid(layer):
+        tail = layer.name.rsplit("_", 1)[-1]
+        return int(tail) if tail.isdigit() else -1
+
+    layers = {l.name: l for l in keras_model.layers}
+    unnamed_convs = sorted(
+        (l for l in keras_model.layers
+         if l.__class__.__name__ == "Conv2D"
+         and l.name.startswith("conv2d")), key=uid)
+    unnamed_bns = sorted(
+        (l for l in keras_model.layers
+         if l.__class__.__name__ == "BatchNormalization"
+         and l.name.startswith("batch_normalization")), key=uid)
+
+    # construction sequence: ('u',) = unnamed bias-free conv+BN;
+    # ('b', name) = named biased projection (no BN)
+    seq = [("u",)] * 5 + [("u",)] * 7                       # stem + mixed_5b
+    for i in range(1, 11):
+        seq += [("u",)] * 6 + [("b", f"block35_{i}_conv")]
+    seq += [("u",)] * 4                                     # mixed_6a
+    for i in range(1, 21):
+        seq += [("u",)] * 4 + [("b", f"block17_{i}_conv")]
+    seq += [("u",)] * 7                                     # mixed_7a
+    for i in range(1, 11):
+        seq += [("u",)] * 4 + [("b", f"block8_{i}_conv")]
+    seq += [("7b",)]
+
+    assert sum(1 for s in seq if s[0] == "u") == len(unnamed_convs) == \
+        len(unnamed_bns), (len(unnamed_convs), len(unnamed_bns))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    u = 0
+    for k, step in enumerate(seq, start=1):
+        if step[0] == "u":
+            (kernel,) = unnamed_convs[u].get_weights()
+            beta, mean, var = unnamed_bns[u].get_weights()
+            u += 1
+        elif step[0] == "b":
+            kernel, bias = layers[step[1]].get_weights()
+            params[f"conv{k}"] = {"kernel": kernel, "bias": bias}
+            continue
+        else:  # conv_7b: named, bias-free, named BN
+            (kernel,) = layers["conv_7b"].get_weights()
+            beta, mean, var = layers["conv_7b_bn"].get_weights()
+        params[f"conv{k}"] = {"kernel": kernel}
+        params[f"bn{k}"] = {"bias": beta}
+        stats[f"bn{k}"] = {"mean": mean, "var": var}
+    return params, stats
+
+
 def keras_vgg_to_flax(keras_model):
     """keras.applications.VGG16/19 (include_top=False) -> params for
     :class:`models.vgg.VGG` — names match 1:1 (``block{b}_conv{c}``)."""

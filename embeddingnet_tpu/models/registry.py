@@ -51,7 +51,7 @@ _RESNETS = {
 def list_backbones():
     return (["simple", "simple2"] + sorted(_RESNETS)
             + sorted(_efn.SCALINGS)
-            + ["mobilenet", "mobilenetv2", "inceptionv3",
+            + ["mobilenet", "mobilenetv2", "inceptionv3", "inceptionresnetv2",
                "densenet121", "densenet169", "densenet201",
                "vgg16", "vgg19", "vit-b16", "vit-l14"])
 
@@ -80,6 +80,9 @@ def _build_backbone(name: str, encodings_len: int,
     if name == "inceptionv3":
         from embeddingnet_tpu.models.inception import InceptionV3
         return InceptionV3(bn_momentum=bn_momentum, dtype=dtype), False
+    if name == "inceptionresnetv2":
+        from embeddingnet_tpu.models.inception import InceptionResNetV2
+        return InceptionResNetV2(bn_momentum=bn_momentum, dtype=dtype), False
     if name.startswith("densenet"):
         from embeddingnet_tpu.models import densenet as _dn
         builder = {"densenet121": _dn.densenet121,

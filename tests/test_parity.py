@@ -285,6 +285,29 @@ def test_inceptionv3_backbone_parity():
     np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
 
 
+def test_inception_resnet_v2_backbone_parity():
+    """keras.applications.InceptionResNetV2 (random weights,
+    include_top=False) vs our Flax InceptionResNetV2 — validates the
+    structural-walk converter (244 convs, mixed named/unnamed)."""
+    input_shape = (96, 96, 3)
+    keras_model = tf.keras.applications.InceptionResNetV2(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(6)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    from embeddingnet_tpu.models.inception import InceptionResNetV2
+    module = InceptionResNetV2()
+    params, batch_stats = pretrained.keras_inception_resnet_v2_to_flax(
+        keras_model)
+    out = np.asarray(module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(images), train=False))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+
+
 def test_mobilenetv1_backbone_parity():
     """keras.applications.MobileNet (v1, random weights) vs our Flax
     MobileNetV1 with order-zipped weights."""
