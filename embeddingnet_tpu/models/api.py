@@ -128,10 +128,25 @@ class EmbeddingNet:
         return encoded
 
     def weights_fingerprint(self) -> str:
-        """sha1 of the serialized encoder variables."""
+        """sha1 of the encoder variables, order-insensitive.
+
+        Hashes (path, value-bytes) pairs sorted by path rather than the
+        msgpack serialization: dict insertion order differs between a
+        fresh ``module.init`` template and the Trainer's state tree, so
+        hashing ``to_bytes`` directly made a legitimate save->load
+        round-trip look like a weights mismatch.
+        """
         import hashlib
-        from flax import serialization as _ser
-        return hashlib.sha1(_ser.to_bytes(self.variables)).hexdigest()[:16]
+        import jax
+        h = hashlib.sha1()
+        leaves = [("/".join(str(getattr(k, "key", k)) for k in path),
+                   np.asarray(leaf))
+                  for path, leaf in
+                  jax.tree_util.tree_leaves_with_path(self.variables)]
+        for path, arr in sorted(leaves):
+            h.update(path.encode())
+            h.update(np.ascontiguousarray(arr).tobytes())
+        return h.hexdigest()[:16]
 
     def encode_dataset(self, paths, batch_size: int = 256,
                        num_workers: int = 8) -> np.ndarray:

@@ -267,6 +267,35 @@ def test_pretrained_weight_flow_end_to_end(tmp_path, tiny_dataset, loader):
     assert not np.allclose(before, after)  # pretrained init trained on
 
 
+def test_fingerprint_stable_across_save_load(tmp_path, tiny_dataset, loader):
+    """The weights fingerprint must survive the train-CLI export ->
+    test-CLI load round trip: the Trainer's variables tree and a fresh
+    ``module.init`` template carry different dict insertion orders, and
+    hashing the msgpack bytes made matching weights look mismatched."""
+    import warnings
+    from embeddingnet_tpu.models import EmbeddingNet
+
+    params = make_params(tmp_path, tiny_dataset)
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    trainer.fit(n_epochs=1)
+
+    net = EmbeddingNet(params)
+    net.variables = trainer.encoder_variables()  # trainer tree order
+    import jax as _jax
+    net._encode_jit = _jax.jit(
+        lambda v, x: net.module.apply(v, x, train=False))
+    db = net.generate_encodings(loader, max_n_samples=2)
+    net.save_encodings(db, str(tmp_path), "enc.pkl")
+    wpath = net.save_base_model(str(tmp_path))
+
+    net2 = EmbeddingNet(params)  # fresh init template order
+    net2.load_model(wpath)
+    assert net2.weights_fingerprint() == net.weights_fingerprint()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any mismatch warning -> fail
+        net2.load_encodings(str(tmp_path / "enc.pkl"))
+
+
 # -- decode pipeline sentinel (ADVICE medium #1) ------------------------------
 
 def test_pipeline_sentinel_delivered_when_queue_full(tiny_dataset):
