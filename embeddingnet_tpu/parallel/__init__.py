@@ -13,3 +13,5 @@ from embeddingnet_tpu.parallel.sharded import (  # noqa: F401
     shard_train_step, sharded_batch_all_loss)
 from embeddingnet_tpu.parallel.sharded_knn import (  # noqa: F401
     sharded_knn, sharded_knn_quantized)
+from embeddingnet_tpu.parallel.tp import (  # noqa: F401
+    shard_train_step_tp, tp_shardings, device_put_state)

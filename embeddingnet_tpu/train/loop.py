@@ -253,14 +253,23 @@ class Trainer:
                 self.module, margin=g.margin,
                 compute_dtype=self.compute_dtype)
         if self.mesh is not None:
-            # GSPMD over the mesh: batch args sharded on 'data', state
-            # replicated; XLA inserts the distance-matrix all-gather.
-            from embeddingnet_tpu.parallel import shard_train_step
+            # GSPMD over the mesh: batch args sharded on 'data'; with
+            # MESH.model > 1 parameters additionally shard over 'model'
+            # (Megatron-style TP via sharding rules, parallel/tp.py);
+            # XLA inserts the distance-matrix all-gather + TP collectives.
             n_batch = 3 if self.mode == "siamese" else 2
-            self.train_step = shard_train_step(
-                train_step, self.mesh,
-                donate=self.params.performance.donate_state,
-                n_batch_args=n_batch)
+            if self.mesh.shape.get("model", 1) > 1:
+                from embeddingnet_tpu.parallel import shard_train_step_tp
+                self.train_step = shard_train_step_tp(
+                    train_step, self.mesh, self.state,
+                    donate=self.params.performance.donate_state,
+                    n_batch_args=n_batch)
+            else:
+                from embeddingnet_tpu.parallel import shard_train_step
+                self.train_step = shard_train_step(
+                    train_step, self.mesh,
+                    donate=self.params.performance.donate_state,
+                    n_batch_args=n_batch)
             self.eval_step = (jax.jit(eval_step)
                               if eval_step is not None else None)
         else:
