@@ -15,3 +15,5 @@ from embeddingnet_tpu.parallel.sharded_knn import (  # noqa: F401
     sharded_knn, sharded_knn_quantized)
 from embeddingnet_tpu.parallel.tp import (  # noqa: F401
     shard_train_step_tp, tp_shardings, device_put_state)
+from embeddingnet_tpu.parallel.pp import (  # noqa: F401
+    pipeline_blocks_forward, stack_stage_params)
