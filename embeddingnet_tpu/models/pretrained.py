@@ -584,3 +584,83 @@ def keras_vgg_to_flax(keras_model):
             k, b = layer.get_weights()
             params[layer.name] = {"kernel": k, "bias": b}
     return params
+
+
+def keras_xception_to_flax(keras_model):
+    """keras.applications.Xception (include_top=False) -> (params,
+    batch_stats) for :class:`models.xception.Xception`.
+
+    The main path is explicitly named on both sides (``block{i}_conv{j}``
+    / ``block{i}_sepconv{j}`` + ``_bn``); keras SeparableConv2D weights
+    ``[depthwise (H,W,C,1), pointwise (1,1,C,F)]`` split into our ``_dw``
+    (transposed to feature_group_count layout) / ``_pw`` conv pair. The
+    four 1x1 shortcut convs+BNs are keras-auto-named — they are taken in
+    creation order (name-suffix sort, like ``keras_inceptionv3_to_flax``)
+    and assigned to blocks 2, 3, 4, 13.
+    """
+    def uid(layer):
+        tail = layer.name.rsplit("_", 1)[-1]
+        return int(tail) if tail.isdigit() else -1
+
+    layers = {l.name: l for l in keras_model.layers}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def named_bn(flax_name, keras_name):
+        params[flax_name], stats[flax_name] = _bn_params(layers[keras_name])
+
+    for j in (1, 2):
+        (kernel,) = layers[f"block1_conv{j}"].get_weights()
+        params[f"block1_conv{j}"] = {"kernel": kernel}
+        named_bn(f"block1_conv{j}_bn", f"block1_conv{j}_bn")
+
+    sep_blocks = ([(b, j) for b in range(2, 14) for j in (1, 2)]
+                  + [(b, 3) for b in range(5, 13)]
+                  + [(14, 1), (14, 2)])
+    for b, j in sep_blocks:
+        name = f"block{b}_sepconv{j}"
+        dw, pw = layers[name].get_weights()
+        params[f"{name}_dw"] = {"kernel": np.transpose(dw, (0, 1, 3, 2))}
+        params[f"{name}_pw"] = {"kernel": pw}
+        named_bn(f"{name}_bn", f"{name}_bn")
+
+    res_convs = sorted((l for l in keras_model.layers
+                        if l.__class__.__name__ == "Conv2D"
+                        and not l.name.startswith("block")), key=uid)
+    res_bns = sorted((l for l in keras_model.layers
+                      if l.__class__.__name__ == "BatchNormalization"
+                      and not l.name.startswith("block")), key=uid)
+    assert len(res_convs) == len(res_bns) == 4, (
+        [l.name for l in res_convs], [l.name for l in res_bns])
+    for block, conv, bnl in zip((2, 3, 4, 13), res_convs, res_bns):
+        (kernel,) = conv.get_weights()
+        params[f"block{block}_res_conv"] = {"kernel": kernel}
+        params[f"block{block}_res_bn"], stats[f"block{block}_res_bn"] = \
+            _bn_params(bnl)
+    return params, stats
+
+
+def keras_nasnet_to_flax(keras_model):
+    """keras.applications.NASNetMobile/Large (include_top=False) ->
+    (params, batch_stats) for :class:`models.nasnet.NASNet`.
+
+    Our module reuses the keras layer names verbatim, so the mapping is a
+    pure name walk: Conv2D -> ``{name}``, SeparableConv2D -> ``{name}_dw``
+    (depthwise kernel transposed to feature_group_count layout) +
+    ``{name}_pw``, BatchNormalization -> ``{name}``.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for layer in keras_model.layers:
+        cls = layer.__class__.__name__
+        if cls == "Conv2D":
+            (kernel,) = layer.get_weights()
+            params[layer.name] = {"kernel": kernel}
+        elif cls == "SeparableConv2D":
+            dw, pw = layer.get_weights()
+            params[f"{layer.name}_dw"] = {
+                "kernel": np.transpose(dw, (0, 1, 3, 2))}
+            params[f"{layer.name}_pw"] = {"kernel": pw}
+        elif cls == "BatchNormalization":
+            params[layer.name], stats[layer.name] = _bn_params(layer)
+    return params, stats

@@ -52,6 +52,7 @@ def list_backbones():
     return (["simple", "simple2"] + sorted(_RESNETS)
             + sorted(_efn.SCALINGS)
             + ["mobilenet", "mobilenetv2", "inceptionv3", "inceptionresnetv2",
+               "xception", "nasnetmobile", "nasnetlarge",
                "densenet121", "densenet169", "densenet201",
                "vgg16", "vgg19", "vit-b16", "vit-l14"])
 
@@ -83,6 +84,13 @@ def _build_backbone(name: str, encodings_len: int,
     if name == "inceptionresnetv2":
         from embeddingnet_tpu.models.inception import InceptionResNetV2
         return InceptionResNetV2(bn_momentum=bn_momentum, dtype=dtype), False
+    if name == "xception":
+        from embeddingnet_tpu.models.xception import Xception
+        return Xception(bn_momentum=bn_momentum, dtype=dtype), False
+    if name in ("nasnetmobile", "nasnetlarge"):
+        from embeddingnet_tpu.models import nasnet as _nas
+        return (getattr(_nas, name)(bn_momentum=bn_momentum,
+                                    dtype=dtype), False)
     if name.startswith("densenet"):
         from embeddingnet_tpu.models import densenet as _dn
         builder = {"densenet121": _dn.densenet121,

@@ -181,7 +181,7 @@ import pytest as _pytest
 @_pytest.mark.parametrize("backbone,px", [
     ("densenet121", 32), ("vgg16", 32), ("mobilenet", 32),
     ("seresnext50", 32), ("senet154", 32), ("inceptionv3", 96),
-    ("inceptionresnetv2", 96),
+    ("inceptionresnetv2", 96), ("xception", 64), ("nasnetmobile", 32),
 ])
 def test_new_zoo_backbones_forward(backbone, px):
     """Zoo registry entries build and encode (reference zoo surface,

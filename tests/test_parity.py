@@ -346,3 +346,48 @@ def test_vgg16_backbone_parity():
                                   jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+def test_xception_backbone_parity():
+    """keras.applications.Xception (random weights, include_top=False)
+    vs our Flax Xception — validates the named main path + creation-order
+    shortcut mapping in ``keras_xception_to_flax``."""
+    input_shape = (96, 96, 3)
+    keras_model = tf.keras.applications.Xception(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(7)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    from embeddingnet_tpu.models.xception import Xception
+    module = Xception()
+    params, batch_stats = pretrained.keras_xception_to_flax(keras_model)
+    out = np.asarray(module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(images), train=False))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+
+
+def test_nasnetmobile_backbone_parity():
+    """keras.applications.NASNetMobile (random weights, include_top=False)
+    vs our Flax NASNet-A (4 @ 1056) — validates the cell wiring (adjust
+    blocks, correct_pad strided sepconvs, zero-pad pool semantics) and the
+    name-walk converter across all 12 cells."""
+    input_shape = (64, 64, 3)
+    keras_model = tf.keras.applications.NASNetMobile(
+        weights=None, include_top=False, input_shape=input_shape)
+
+    rng = np.random.default_rng(8)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    from embeddingnet_tpu.models.nasnet import nasnetmobile
+    module = nasnetmobile()
+    params, batch_stats = pretrained.keras_nasnet_to_flax(keras_model)
+    out = np.asarray(module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(images), train=False))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
