@@ -391,3 +391,29 @@ def test_nasnetmobile_backbone_parity():
         jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+
+
+def test_nasnet_skip_reduction_parity():
+    """The NASNetLarge-specific ``skip_reduction=True`` wiring (the
+    post-reduction ``p`` handoff differs from Mobile), on a tiny custom
+    NASNet vs the keras builder with the same hyperparameters."""
+    from keras.src.applications.nasnet import NASNet as KerasNASNet
+    input_shape = (64, 64, 3)
+    keras_model = KerasNASNet(
+        input_shape, penultimate_filters=96, num_blocks=2,
+        stem_block_filters=8, skip_reduction=True,
+        include_top=False, weights=None, default_size=64)
+
+    rng = np.random.default_rng(9)
+    images = rng.normal(size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(images, verbose=0)
+
+    from embeddingnet_tpu.models.nasnet import NASNet
+    module = NASNet(penultimate_filters=96, num_blocks=2,
+                    stem_block_filters=8, skip_reduction=True)
+    params, batch_stats = pretrained.keras_nasnet_to_flax(keras_model)
+    out = np.asarray(module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(images), train=False))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
