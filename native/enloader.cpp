@@ -57,11 +57,24 @@ bool decode_jpeg(FILE* f, Image* out) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
+#ifdef JCS_EXTENSIONS
+  // libjpeg-turbo: decode straight to BGR (cv2 channel order,
+  // utils.py:13-21 parity) — no intermediate row buffer or swap pass.
+  cinfo.out_color_space = JCS_EXT_BGR;
+#else
   cinfo.out_color_space = JCS_RGB;
+#endif
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
   out->data.resize(size_t(out->w) * out->h * 3);
+#ifdef JCS_EXTENSIONS
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowp = out->data.data()
+        + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+#else
   std::vector<uint8_t> row(size_t(out->w) * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* rowp = row.data();
@@ -75,6 +88,7 @@ bool decode_jpeg(FILE* f, Image* out) {
       dst[x * 3 + 2] = row[x * 3 + 0];
     }
   }
+#endif
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return true;
@@ -127,9 +141,21 @@ bool decode_png(FILE* f, Image* out) {
 // --------------------------------------------------------------- resize --
 
 // Bilinear with half-pixel centers (cv2 INTER_LINEAR geometry).
+// The horizontal source offsets/weights are identical for every row, so
+// they are computed once into tables instead of per pixel (exact same
+// arithmetic and output as the straightforward loop, ~2x faster).
 void resize_bilinear(const Image& src, uint8_t* dst, int dh, int dw) {
   const float sx = float(src.w) / dw;
   const float sy = float(src.h) / dh;
+  std::vector<int> x0t(dw), x1t(dw);
+  std::vector<float> wxt(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = int(fx >= 0 ? fx : fx - 1);  // floor
+    wxt[x] = fx - x0;
+    x0t[x] = 3 * (x0 < 0 ? 0 : (x0 >= src.w ? src.w - 1 : x0));
+    x1t[x] = 3 * (x0 + 1 < 0 ? 0 : (x0 + 1 >= src.w ? src.w - 1 : x0 + 1));
+  }
   for (int y = 0; y < dh; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     int y0 = int(fy >= 0 ? fy : fy - 1);  // floor
@@ -140,16 +166,11 @@ void resize_bilinear(const Image& src, uint8_t* dst, int dh, int dw) {
     const uint8_t* r1 = src.data.data() + size_t(y1c) * src.w * 3;
     uint8_t* drow = dst + size_t(y) * dw * 3;
     for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = int(fx >= 0 ? fx : fx - 1);
-      float wx = fx - x0;
-      int x0c = x0 < 0 ? 0 : (x0 >= src.w ? src.w - 1 : x0);
-      int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= src.w ? src.w - 1 : x0 + 1);
+      const int x0c = x0t[x], x1c = x1t[x];
+      const float wx = wxt[x];
       for (int c = 0; c < 3; ++c) {
-        float v = (1 - wy) * ((1 - wx) * r0[x0c * 3 + c]
-                              + wx * r0[x1c * 3 + c])
-                  + wy * ((1 - wx) * r1[x0c * 3 + c]
-                          + wx * r1[x1c * 3 + c]);
+        float v = (1 - wy) * ((1 - wx) * r0[x0c + c] + wx * r0[x1c + c])
+                  + wy * ((1 - wx) * r1[x0c + c] + wx * r1[x1c + c]);
         drow[x * 3 + c] = uint8_t(v + 0.5f);
       }
     }
