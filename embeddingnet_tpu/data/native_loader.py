@@ -63,6 +63,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
         ]
+        if hasattr(lib, "en_decode_batch_ex"):  # v2+
+            lib.en_decode_batch_ex.restype = ctypes.c_int
+            lib.en_decode_batch_ex.argtypes = \
+                lib.en_decode_batch.argtypes + [ctypes.c_int]
         lib.en_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -74,11 +78,18 @@ def available() -> bool:
 
 def decode_batch(paths: Sequence[str], height: int, width: int,
                  n_threads: int = 8,
-                 out: Optional[np.ndarray] = None) -> np.ndarray:
+                 out: Optional[np.ndarray] = None,
+                 fast: bool = False) -> np.ndarray:
     """Decode+resize ``paths`` into a [N, H, W, 3] uint8 BGR array.
 
     Failed slots are zeroed (same contract as the Python loader). Pass
     ``out`` to reuse a preallocated buffer across batches.
+
+    ``fast=True`` enables DCT-domain prescaled JPEG decode (libjpeg M/8
+    scaling): ~1.5x faster for >= 2:1 downscales, but the result deviates
+    from the cv2-exact path (measured mean ~1.2 / p99 ~8 gray levels on
+    photographic content — under the training augmentation noise floor).
+    Exact by default; PNGs are always exact.
     """
     lib = _load()
     if lib is None:
@@ -90,7 +101,9 @@ def decode_batch(paths: Sequence[str], height: int, width: int,
         assert out.shape == (n, height, width, 3) and out.dtype == np.uint8
         assert out.flags["C_CONTIGUOUS"]
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.en_decode_batch(
-        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        height, width, n_threads)
+    optr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if fast and hasattr(lib, "en_decode_batch_ex"):
+        lib.en_decode_batch_ex(arr, n, optr, height, width, n_threads, 1)
+    else:
+        lib.en_decode_batch(arr, n, optr, height, width, n_threads)
     return out

@@ -30,24 +30,36 @@ class BatchLoader:
 
     def __init__(self, sampler, input_shape: Sequence[int],
                  num_workers: int = 8, prefetch: int = 4,
-                 n_batches: Optional[int] = None, backend: str = "auto"):
+                 n_batches: Optional[int] = None, backend: str = "auto",
+                 fast_decode: bool = False):
         self.sampler = sampler
         self.input_shape = tuple(input_shape)
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.n_batches = n_batches
+        # PERFORMANCE.fast_decode: DCT-prescaled JPEG decode in the native
+        # loader (~1.5x on >= 2:1 downscales, approximate — see
+        # native_loader.decode_batch); forces the native backend.
+        self.fast_decode = bool(fast_decode)
         if backend == "auto":
-            # The C++ loader's win is GIL-free multi-core scaling; on a
-            # single-core host cv2's SIMD decode is ~25% faster, so only
-            # prefer native when there are cores to scale across.
+            # The C++ loader's win is GIL-free multi-core scaling (or the
+            # fast-decode path); on a single-core host cv2's SIMD decode
+            # is otherwise ~25% faster, so only prefer native when there
+            # are cores to scale across.
             import os as _os
             from embeddingnet_tpu.data import native_loader
             multi_core = (_os.cpu_count() or 1) > 1
-            backend = ("native" if multi_core and native_loader.available()
-                       else "python")
+            backend = ("native"
+                       if (multi_core or self.fast_decode)
+                       and native_loader.available() else "python")
         if backend not in ("native", "python"):
             raise ValueError(f"unknown decode backend {backend!r}")
         self.backend = backend
+        if self.fast_decode and self.backend != "native":
+            import logging
+            logging.getLogger(__name__).warning(
+                "fast_decode requested but native loader unavailable; "
+                "using exact cv2 decode")
 
     def _decode_many(self, pool: ThreadPoolExecutor,
                      paths: Sequence[str]) -> np.ndarray:
@@ -56,7 +68,8 @@ class BatchLoader:
             # GIL-free C++ decode+resize straight into the batch buffer
             from embeddingnet_tpu.data import native_loader
             return native_loader.decode_batch(paths, h, w,
-                                              n_threads=self.num_workers)
+                                              n_threads=self.num_workers,
+                                              fast=self.fast_decode)
         imgs = list(pool.map(lambda p: get_image(p, self.input_shape), paths))
         out = np.zeros((len(paths), h, w, 3), np.uint8)
         for i, im in enumerate(imgs):

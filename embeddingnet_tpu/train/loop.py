@@ -296,7 +296,8 @@ class Trainer:
                                 k_classes=g.k_classes,
                                 k_samples=g.k_samples, seed=seed)
         return BatchLoader(sampler, self.params.model.input_shape,
-                           n_batches=g.n_batches)
+                           n_batches=g.n_batches,
+                           fast_decode=self.params.performance.fast_decode)
 
     def _val_loader(self):
         if self.mode == "arcface":
@@ -339,7 +340,16 @@ class Trainer:
         """Double-buffered host->device transfer: enqueue batch N+1's
         (async) device_put while step N computes, instead of transferring
         synchronously inside the dispatch (ROADMAP r1 item). Yields
-        batches already resident on device."""
+        batches already resident on device. ``PERFORMANCE.device_prefetch:
+        false`` degrades to synchronous per-batch transfer (debug aid)."""
+        if not self.params.performance.device_prefetch:
+            for images, targets in loader:
+                if isinstance(images, tuple):
+                    yield (tuple(self._put_batch(x) for x in images),
+                           self._put_batch(targets))
+                else:
+                    yield self._put_batch(images), self._put_batch(targets)
+            return
         prev = None
         for batch in loader:
             images, targets = batch

@@ -45,7 +45,14 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* out) {
+// target_h/target_w > 0 enable DCT-domain scaled decode (libjpeg
+// scale_num/8): the decoder emits the smallest M/8-scaled image that is
+// still >= the target in both dims, cutting IDCT + color-convert work up
+// to ~4x for 2:1 pipelines. Output then goes through the same bilinear
+// resize, so geometry stays cv2-like, but the DCT low-pass differs from
+// full-decode-then-bilinear by a few gray levels — opt-in only
+// (en_decode_batch_ex flags bit 0 / BatchLoader fast_decode).
+bool decode_jpeg(FILE* f, Image* out, int target_h, int target_w) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -57,6 +64,14 @@ bool decode_jpeg(FILE* f, Image* out) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
+  if (target_h > 0 && target_w > 0) {
+    int m = 8;  // scale_num: output = ceil(dim * m / 8)
+    while (m > 1 && int(cinfo.image_height) * (m - 1) / 8 >= target_h &&
+           int(cinfo.image_width) * (m - 1) / 8 >= target_w)
+      --m;
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
 #ifdef JCS_EXTENSIONS
   // libjpeg-turbo: decode straight to BGR (cv2 channel order,
   // utils.py:13-21 parity) — no intermediate row buffer or swap pass.
@@ -177,7 +192,7 @@ void resize_bilinear(const Image& src, uint8_t* dst, int dh, int dw) {
   }
 }
 
-bool decode_file(const char* path, Image* out) {
+bool decode_file(const char* path, Image* out, int target_h, int target_w) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t magic[2] = {0, 0};
@@ -188,7 +203,7 @@ bool decode_file(const char* path, Image* out) {
   rewind(f);
   bool ok = false;
   if (magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, out);
+    ok = decode_jpeg(f, out, target_h, target_w);
   } else if (magic[0] == 0x89 && magic[1] == 'P') {
     ok = decode_png(f, out);
   }
@@ -200,16 +215,19 @@ bool decode_file(const char* path, Image* out) {
 
 extern "C" {
 
-int en_version() { return 1; }
+int en_version() { return 2; }
 
 // Decode n images into out[n, H, W, 3] uint8 BGR. Returns #decoded OK.
-int en_decode_batch(const char** paths, int n, uint8_t* out, int H, int W,
-                    int n_threads) {
+// flags bit 0: fast JPEG decode (DCT-domain M/8 prescale — approximate,
+// see decode_jpeg).
+int en_decode_batch_ex(const char** paths, int n, uint8_t* out, int H,
+                       int W, int n_threads, int flags) {
   if (n <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next{0};
   std::atomic<int> ok_count{0};
   const size_t img_bytes = size_t(H) * W * 3;
+  const bool fast = flags & 1;
 
   auto worker = [&]() {
     for (;;) {
@@ -217,7 +235,7 @@ int en_decode_batch(const char** paths, int n, uint8_t* out, int H, int W,
       if (i >= n) break;
       Image img;
       uint8_t* slot = out + size_t(i) * img_bytes;
-      if (decode_file(paths[i], &img)) {
+      if (decode_file(paths[i], &img, fast ? H : 0, fast ? W : 0)) {
         if (img.w == W && img.h == H) {
           std::memcpy(slot, img.data.data(), img_bytes);
         } else {
@@ -238,6 +256,12 @@ int en_decode_batch(const char** paths, int n, uint8_t* out, int H, int W,
   for (int i = 0; i < threads; ++i) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
   return ok_count.load();
+}
+
+// Original exact-decode ABI (kept for compatibility).
+int en_decode_batch(const char** paths, int n, uint8_t* out, int H, int W,
+                    int n_threads) {
+  return en_decode_batch_ex(paths, n, out, H, W, n_threads, 0);
 }
 
 }  // extern "C"

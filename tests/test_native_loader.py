@@ -78,3 +78,51 @@ def test_batch_loader_native_backend(tiny_dataset):
     # same sampler seed -> same files -> near-identical pixels
     np.testing.assert_array_equal(labels_n, labels_p)
     assert np.abs(images_n.astype(int) - images_p.astype(int)).max() <= 1
+
+
+@pytest.fixture
+def smooth_jpegs(tmp_path, rng_np):
+    """Photograph-like (smooth) jpegs where DCT-prescale stays accurate."""
+    import cv2
+    paths = []
+    yy, xx = np.mgrid[0:128, 0:128]
+    for i in range(3):
+        img = np.stack([(yy + 40 * i) % 256, (xx * 2) % 256,
+                        ((yy + xx) // 2 + 10 * i) % 256],
+                       axis=-1).astype(np.uint8)
+        img = cv2.GaussianBlur(img, (5, 5), 2.0)
+        p = str(tmp_path / f"smooth_{i}.jpg")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    return paths
+
+
+def test_fast_decode_close_to_exact(smooth_jpegs):
+    """fast=True (DCT M/8 prescale) stays within a few gray levels of the
+    exact path on smooth content, at the same output shape."""
+    exact = native_loader.decode_batch(smooth_jpegs, 64, 64)
+    fast = native_loader.decode_batch(smooth_jpegs, 64, 64, fast=True)
+    assert fast.shape == exact.shape
+    d = np.abs(fast.astype(int) - exact.astype(int))
+    assert d.mean() < 3.0, d.mean()
+    assert np.percentile(d, 99) <= 16, np.percentile(d, 99)
+
+
+def test_fast_decode_png_still_exact(image_files):
+    """PNGs bypass the JPEG prescale: fast=True output is bit-identical."""
+    exact = native_loader.decode_batch(image_files[:3], 32, 32)
+    fast = native_loader.decode_batch(image_files[:3], 32, 32, fast=True)
+    np.testing.assert_array_equal(exact, fast)
+
+
+def test_batch_loader_fast_decode(tiny_dataset):
+    """PERFORMANCE.fast_decode wires through BatchLoader to the native
+    backend (auto picks native even on 1 core when fast is requested)."""
+    from embeddingnet_tpu.data import BatchLoader, ENDataLoader, PKSampler
+    dl = ENDataLoader(tiny_dataset, validate=False)
+    s = PKSampler(dl.train_data, dl.class_names, k_classes=2, k_samples=2)
+    loader = BatchLoader(s, (16, 16, 3), n_batches=1, fast_decode=True)
+    assert loader.backend == "native"
+    images, labels = next(iter(loader))
+    assert images.shape[1:] == (16, 16, 3)
+    assert images.max() > 0
