@@ -64,10 +64,18 @@ class EmbeddingNet:
 
     def _create_base_model(self):
         m = self.params_model
+        # ArcFace trains cosine structure only (the loss normalizes
+        # internally); retrieval must therefore be on the hypersphere —
+        # unnormalized L2-kNN degrades as the margin loss saturates and
+        # embedding norms drift (measured: recall@1 peaks then collapses
+        # while train loss keeps falling). Normalization is a param-free
+        # op, so the same checkpoint loads either way.
+        normalize = bool(m["embeddings_normalization"]
+                         or m.get("mode") == "arcface")
         self.module = EmbeddingModule(
             backbone_name=m["backbone_name"],
             encodings_len=m["encodings_len"],
-            embeddings_normalization=m["embeddings_normalization"])
+            embeddings_normalization=normalize)
         rng = jax.random.PRNGKey(self.params_general.get("seed", 42))
         dummy = jnp.zeros((1,) + tuple(m["input_shape"]), jnp.float32)
         self.variables = self.module.init({"params": rng, "dropout": rng},

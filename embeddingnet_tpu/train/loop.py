@@ -141,10 +141,15 @@ class Trainer:
                 dtype=self.compute_dtype)
             self.variables = self.module.init(
                 {"params": rng, "dropout": rng}, dummy, train=False)
+            # eval/export view normalizes: ArcFace optimizes cosine
+            # structure only, so retrieval lives on the hypersphere —
+            # raw-L2 recall collapses as the margin loss saturates and
+            # norms drift (measured; see models/api.py). Param-free op,
+            # same tree as the training encoder.
             self.encoder_module = EmbeddingModule(
                 backbone_name=m.backbone_name,
                 encodings_len=m.encodings_len,
-                embeddings_normalization=False,
+                embeddings_normalization=True,
                 bn_momentum=self.params.performance.bn_momentum,
                 dtype=self.compute_dtype)
         else:

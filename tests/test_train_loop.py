@@ -311,3 +311,30 @@ def test_ema_training_and_export(tmp_path, tiny_dataset, loader):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(ema2)[0]),
         np.asarray(ema_leaf), atol=1e-6)
+
+
+def test_arcface_retrieval_embeddings_normalized(tmp_path, tiny_dataset):
+    """ArcFace optimizes cosine structure only — the eval/export encoder
+    view must L2-normalize (raw-L2 recall collapses as the margin loss
+    saturates; measured on the ViT stretch runs)."""
+    from embeddingnet_tpu.data import ENDataLoader
+    from embeddingnet_tpu.train import Trainer
+    import jax.numpy as jnp
+
+    dl = ENDataLoader(tiny_dataset, validate=True, val_ratio=0.2)
+    params = make_params(tmp_path, tiny_dataset, mode="arcface",
+                         extra_model={"embeddings_normalization": False})
+    t = Trainer(params, dl, log_fn=lambda *a: None)
+    x = jnp.ones((3,) + tuple(params.model.input_shape), jnp.float32) * 0.5
+    emb = t.encoder_module.apply(t.encoder_variables(), x, train=False)
+    norms = np.linalg.norm(np.asarray(emb, np.float32), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+    # the high-level API view (tools/test.py / serving) normalizes too
+    from embeddingnet_tpu.models import EmbeddingNet
+    net = EmbeddingNet(params)
+    net.variables = t.encoder_variables()
+    emb2 = net.module.apply(net.variables, x, train=False)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(emb2, np.float32), axis=1), 1.0,
+        atol=1e-3)
