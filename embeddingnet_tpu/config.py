@@ -60,7 +60,7 @@ class _SectionBase:
 _VALID_MODES = ("triplet", "siamese", "arcface")
 _VALID_DISTANCES = ("l1", "l2")
 _VALID_MINING = ("semihard", "hardest", "random_hard", "batch_all", "batch_hard")
-_VALID_OPTIMIZERS = ("adam", "rms_prop", "radam", "sgd")
+_VALID_OPTIMIZERS = ("adam", "rms_prop", "radam", "sgd", "adamw")
 _VALID_DTYPES = ("float32", "bfloat16")
 
 
@@ -177,12 +177,27 @@ class TrainConfig(_SectionBase):
     # Linear LR warmup over the first N epochs before the step decay
     # (from-scratch big-batch runs; 0 = reference behavior).
     warmup_epochs: float = 0.0
+    # Metric the best-checkpoint / plateau / early-stop callbacks watch.
+    # None = reference behavior (val_loss when validating, else loss).
+    # Higher-is-better metrics (recall/accuracy) flip the callbacks to
+    # max mode automatically — e.g. 'val_recall1' with eval_recall_every
+    # stops an ArcFace run at its retrieval peak instead of riding the
+    # train loss into overfit.
+    monitor: Optional[str] = None
+    # Decoupled weight decay for the 'adamw' optimizer (ignored by the
+    # reference optimizer names). ViT-from-scratch recipes need it.
+    weight_decay: float = 0.0
 
     def __post_init__(self):
         if self.optimizer not in _VALID_OPTIMIZERS:
             raise ConfigError(
                 f"TRAIN.optimizer must be one of {_VALID_OPTIMIZERS}, "
                 f"got {self.optimizer!r}")
+        if ("recall" in (self.monitor or "")
+                and self.eval_recall_every <= 0):
+            raise ConfigError(
+                "TRAIN.monitor watches a recall metric but "
+                "eval_recall_every is 0 — the metric would never exist")
         if self.learning_rate <= 0:
             raise ConfigError("TRAIN.learning_rate must be positive")
 

@@ -16,27 +16,40 @@ import math
 from typing import Dict, List, Optional
 
 
+def monitor_mode(monitor: str) -> str:
+    """'max' for higher-is-better metrics (recall/accuracy), else 'min' —
+    the Keras mode='auto' resolution rule."""
+    m = (monitor or "").lower()
+    return "max" if ("recall" in m or "acc" in m) else "min"
+
+
 class ReduceLROnPlateau:
     """Keras-semantics plateau scaler (``tools/train.py:82-83``)."""
 
     def __init__(self, monitor: str = "val_loss", factor: float = 0.1,
                  patience: int = 4, min_delta: float = 1e-4,
-                 verbose: bool = True):
+                 verbose: bool = True, mode: str = "auto"):
         self.monitor = monitor
         self.factor = factor
         self.patience = patience
         self.min_delta = min_delta
         self.verbose = verbose
-        self.best = math.inf
+        self.mode = monitor_mode(monitor) if mode == "auto" else mode
+        self.best = math.inf if self.mode == "min" else -math.inf
         self.wait = 0
         self.scale = 1.0
+
+    def _improved(self, value: float) -> bool:
+        if self.mode == "min":
+            return value < self.best - self.min_delta
+        return value > self.best + self.min_delta
 
     def update(self, metrics: Dict[str, float]) -> float:
         """Feed end-of-epoch metrics; returns the current LR scale."""
         value = metrics.get(self.monitor)
         if value is None:
             return self.scale
-        if value < self.best - self.min_delta:
+        if self._improved(value):
             self.best = value
             self.wait = 0
         else:
@@ -59,21 +72,28 @@ class EarlyStopping:
     """Keras-semantics early stop (``tools/train.py:84-86``)."""
 
     def __init__(self, monitor: str = "val_loss", patience: int = 10,
-                 min_delta: float = 0.0, verbose: bool = True):
+                 min_delta: float = 0.0, verbose: bool = True,
+                 mode: str = "auto"):
         self.monitor = monitor
         self.patience = patience
         self.min_delta = min_delta
         self.verbose = verbose
-        self.best = math.inf
+        self.mode = monitor_mode(monitor) if mode == "auto" else mode
+        self.best = math.inf if self.mode == "min" else -math.inf
         self.wait = 0
         self.stopped = False
+
+    def _improved(self, value: float) -> bool:
+        if self.mode == "min":
+            return value < self.best - self.min_delta
+        return value > self.best + self.min_delta
 
     def update(self, metrics: Dict[str, float]) -> bool:
         """Returns True when training should stop."""
         value = metrics.get(self.monitor)
         if value is None:
             return False
-        if value < self.best - self.min_delta:
+        if self._improved(value):
             self.best = value
             self.wait = 0
         else:

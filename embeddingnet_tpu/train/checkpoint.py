@@ -48,11 +48,22 @@ class CheckpointManager:
              host_state: Optional[dict] = None) -> bool:
         """Save if improved (or always when ``save_best_only=False``).
         Returns True when a checkpoint was written."""
-        value = float(metrics.get(self.monitor, metrics.get("loss", 0.0)))
-        if self.save_best_only and not self._improved(value):
-            return False
-        if self._improved(value):
-            self.best = value
+        raw = metrics.get(self.monitor)
+        if raw is None and self.mode == "min":
+            raw = metrics.get("loss")  # reference fallback
+        if raw is None:
+            # monitored metric absent this epoch (e.g. recall evaluated
+            # every N epochs): nothing to compare — never "improves"
+            if self.save_best_only:
+                return False
+            value = None
+        else:
+            value = float(raw)
+        if value is not None:
+            if self.save_best_only and not self._improved(value):
+                return False
+            if self._improved(value):
+                self.best = value
         host = {"epoch": epoch, "best": self.best,
                 "metrics": {k: float(v) for k, v in metrics.items()},
                 **(host_state or {})}

@@ -67,7 +67,7 @@ class Trainer:
             patience=params.train.early_stopping_patience)
         self.ckpt_mgr = ckpt.CheckpointManager(
             self.paths["weights"], save_best_only=True,
-            monitor=self._monitor(),
+            monitor=self._monitor(), mode=cb.monitor_mode(self._monitor()),
             async_save=params.performance.async_checkpoint)
         self.start_epoch = 0
 
@@ -80,8 +80,11 @@ class Trainer:
     # -- construction ------------------------------------------------------
 
     def _monitor(self) -> str:
-        # reference: val_loss when validating else loss (train.py:73-76);
-        # arcface has no pair/triplet val generator -> monitor train loss
+        # TRAIN.monitor overrides; reference default: val_loss when
+        # validating else loss (train.py:73-76); arcface has no
+        # pair/triplet val generator -> monitor train loss
+        if self.params.train.monitor:
+            return self.params.train.monitor
         if self.mode == "arcface":
             return "loss"
         return "val_loss" if self.data_loader.validate else "loss"
@@ -206,7 +209,9 @@ class Trainer:
         schedule = optim.step_decay_schedule(
             t.learning_rate, t.decay_factor, t.step_size, steps_per_epoch,
             warmup_epochs=t.warmup_epochs)
-        base = optim.get_optimizer(t.optimizer, schedule)
+        opt_kwargs = ({"weight_decay": t.weight_decay}
+                      if t.optimizer == "adamw" else {})
+        base = optim.get_optimizer(t.optimizer, schedule, **opt_kwargs)
         if self.params.model.freeze_backbone:
             mask = backbone_param_mask(self.variables["params"],
                                        self.params.model.freeze_backbone)
@@ -325,6 +330,20 @@ class Trainer:
                            n_batches=g.n_batches_val)
 
     # -- resume ------------------------------------------------------------
+
+    def restore_best(self) -> bool:
+        """Load the best-monitored checkpoint into the live state (the
+        manager is save_best_only, so its latest step IS the best epoch).
+        Returns False when nothing was saved. Used by the train CLI so
+        the exported encoder is the best-epoch model, not wherever early
+        stopping halted."""
+        if self.ckpt_mgr.latest_epoch() is None:
+            return False
+        state, host = self.ckpt_mgr.restore(self.state, None)
+        self.state = state
+        self.log(f"restored best checkpoint (epoch {host.get('epoch')}, "
+                 f"{self.ckpt_mgr.monitor}={host.get('best')})")
+        return True
 
     def resume(self, epoch: Optional[int] = None):
         """Restore train state + callback state (``--resume_from``,

@@ -52,6 +52,10 @@ def get_optimizer(name: str, learning_rate, **kwargs) -> optax.GradientTransform
     name = (name or "sgd").lower()
     if name == "adam":
         return optax.adam(learning_rate, **kwargs)
+    if name == "adamw":
+        # beyond the reference dispatch: decoupled weight decay
+        # (TRAIN.weight_decay) for ViT-from-scratch recipes
+        return optax.adamw(learning_rate, **kwargs)
     if name == "rms_prop":
         return optax.rmsprop(learning_rate, **kwargs)
     if name == "radam":

@@ -243,3 +243,62 @@ def test_radam_matches_paper_oracle():
         params5 = optax.apply_updates(params5, updates)
         got5.append(float(params5))
     assert not np.allclose(got5, expected, rtol=1e-5)
+
+
+def test_monitor_mode_resolution():
+    from embeddingnet_tpu.train.callbacks import monitor_mode
+    assert monitor_mode("val_loss") == "min"
+    assert monitor_mode("loss") == "min"
+    assert monitor_mode("val_recall1") == "max"
+    assert monitor_mode("accuracy") == "max"
+
+
+def test_early_stopping_max_mode():
+    from embeddingnet_tpu.train.callbacks import EarlyStopping
+    e = EarlyStopping(monitor="val_recall1", patience=2, verbose=False)
+    assert e.mode == "max"
+    assert not e.update({"val_recall1": 0.3})
+    assert not e.update({"val_recall1": 0.5})   # improvement resets
+    assert not e.update({"val_recall1": 0.45})  # wait 1
+    assert e.update({"val_recall1": 0.44})      # wait 2 -> stop
+    # missing metric epochs (recall evaluated every N) don't count
+    e2 = EarlyStopping(monitor="val_recall1", patience=1, verbose=False)
+    e2.update({"val_recall1": 0.5})
+    assert not e2.update({"loss": 1.0})
+    assert e2.update({"val_recall1": 0.4})
+
+
+def test_plateau_max_mode_lowers_lr_on_recall_stall():
+    from embeddingnet_tpu.train.callbacks import ReduceLROnPlateau
+    p = ReduceLROnPlateau(monitor="val_recall1", patience=1, verbose=False)
+    p.update({"val_recall1": 0.5})
+    assert p.update({"val_recall1": 0.49}) == pytest.approx(0.1)
+
+
+def test_adamw_optimizer_dispatch():
+    import optax
+    from embeddingnet_tpu.train.optim import get_optimizer
+    opt = get_optimizer("adamw", 1e-3, weight_decay=0.1)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.zeros((3,))}, state, params)
+    # zero gradient still shrinks weights: decoupled decay is active
+    assert float(updates["w"][0]) < 0
+
+
+def test_checkpoint_best_max_mode_skips_missing_metric(tmp_path):
+    import optax
+    from embeddingnet_tpu.train.checkpoint import CheckpointManager
+    from embeddingnet_tpu.train.state import TrainState
+
+    variables = {"params": {"w": jnp.zeros((2,))}}
+    state = TrainState.create(variables, optax.sgd(1e-2))
+    mgr = CheckpointManager(str(tmp_path / "w"), monitor="val_recall1",
+                            mode="max")
+    assert mgr.save(0, state, {"val_recall1": 0.3, "loss": 5.0})
+    # no recall this epoch: loss must NOT be compared in max mode
+    assert not mgr.save(1, state, {"loss": 0.001})
+    assert not mgr.save(2, state, {"val_recall1": 0.2, "loss": 0.001})
+    assert mgr.save(3, state, {"val_recall1": 0.4, "loss": 9.0})
+    assert mgr.latest_epoch() == 3
+    mgr.close()

@@ -338,3 +338,24 @@ def test_arcface_retrieval_embeddings_normalized(tmp_path, tiny_dataset):
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(emb2, np.float32), axis=1), 1.0,
         atol=1e-3)
+
+
+def test_restore_best_loads_best_checkpoint(tmp_path, tiny_dataset):
+    """After fit, restore_best() pulls the best-monitored epoch back into
+    the live state (the CLI exports this, not the last epoch)."""
+    from embeddingnet_tpu.data import ENDataLoader
+    from embeddingnet_tpu.train import Trainer
+
+    dl = ENDataLoader(tiny_dataset, validate=True, val_ratio=0.2)
+    params = make_params(tmp_path, tiny_dataset, n_epochs=2)
+    t = Trainer(params, dl, log_fn=lambda *a: None)
+    t.fit()
+    step_after_fit = int(t.state.step)
+    # clobber the live params; restore_best must bring back a checkpoint
+    import jax as _jax
+    t.state = t.state.replace(params=_jax.tree_util.tree_map(
+        lambda x: x * 0, t.state.params))
+    assert t.restore_best()
+    leaf = np.asarray(_jax.tree_util.tree_leaves(t.state.params)[0])
+    assert np.abs(leaf).max() > 0  # real weights back
+    assert int(t.state.step) <= step_after_fit

@@ -71,6 +71,9 @@ def main():
         trainer.pretrain_softmax()
 
     history = trainer.fit()
+    # Export the best-monitored epoch, not wherever the loop halted (the
+    # manager is save_best_only — its latest checkpoint IS the best).
+    trainer.restore_best()
 
     if params.train.plot_history:
         from embeddingnet_tpu.utils.viz import plot_grapths
