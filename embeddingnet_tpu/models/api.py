@@ -142,7 +142,11 @@ class EmbeddingNet:
         msgpack serialization: dict insertion order differs between a
         fresh ``module.init`` template and the Trainer's state tree, so
         hashing ``to_bytes`` directly made a legitimate save->load
-        round-trip look like a weights mismatch.
+        round-trip look like a weights mismatch. The ``classifier``
+        subtree (the reference's Dense(1, sigmoid) head) is excluded:
+        it plays no part in encodings, and arcface/siamese training
+        exports the encoder view without it — a fresh-init classifier on
+        the load side must not invalidate a matching encoder.
         """
         import hashlib
         import jax
@@ -151,6 +155,7 @@ class EmbeddingNet:
                    np.asarray(leaf))
                   for path, leaf in
                   jax.tree_util.tree_leaves_with_path(self.variables)]
+        leaves = [(p, a) for p, a in leaves if "classifier" not in p]
         for path, arr in sorted(leaves):
             h.update(path.encode())
             h.update(np.ascontiguousarray(arr).tobytes())
@@ -337,10 +342,24 @@ class EmbeddingNet:
 
     def load_model(self, file_path: str):
         """Restore encoder variables saved by :meth:`save_base_model`
-        (``models.py:92-102`` equivalent)."""
+        (``models.py:92-102`` equivalent).
+
+        Merges into the fresh-init template: arcface/siamese training
+        exports the *encoder view* of the param tree, which has no
+        ``classifier`` subtree (the reference's Dense(1, sigmoid) head,
+        unused in retrieval) — subtrees absent from the file keep their
+        fresh initialization instead of failing the strict restore.
+        """
         with open(file_path, "rb") as f:
-            self.variables = serialization.from_bytes(self.variables,
-                                                      f.read())
+            raw = serialization.msgpack_restore(f.read())
+
+        def merge(template, saved):
+            if not isinstance(template, dict):
+                return saved
+            return {k: (merge(v, saved[k]) if k in saved else v)
+                    for k, v in template.items()}
+
+        self.variables = merge(self.variables, raw)
         return self
 
     def save_stablehlo(self, save_folder: str,

@@ -196,3 +196,42 @@ def test_new_zoo_backbones_forward(backbone, px):
     out = m.apply(v, _jnp.zeros((2, px, px, 3)), train=False)
     assert out.shape == (2, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_model_merges_encoder_view_export(tmp_path):
+    """arcface/siamese training exports the encoder view (no
+    'classifier' subtree); load_model must merge it into the fresh-init
+    template instead of failing the strict restore, and the encodings
+    fingerprint must ignore the (fresh-random) classifier head."""
+    import jax
+    from embeddingnet_tpu.config import params_from_dict
+    from embeddingnet_tpu.models import EmbeddingNet
+
+    cfg = {
+        "MODEL": {"input_shape": [32, 32, 3], "encodings_len": 8,
+                  "mode": "arcface", "backbone_name": "simple2",
+                  "backbone_weights": None,
+                  "embeddings_normalization": False},
+        "DATALOADER": {"dataset_path": str(tmp_path)},
+        "GENERATOR": {"k_classes": 2, "k_samples": 2},
+        "TRAIN": {"learning_rate": 1e-3, "n_epochs": 1},
+        "GENERAL": {"project_name": "enc_view", "work_dir": str(tmp_path)},
+    }
+    donor = EmbeddingNet(params_from_dict(cfg))
+    # encoder-view export: params WITHOUT the classifier subtree
+    params_no_clf = {k: v for k, v in donor.variables["params"].items()
+                     if k != "classifier"}
+    donor.variables = {"params": params_no_clf}
+    path = donor.save_base_model(str(tmp_path / "m"))
+    fp_saved = donor.weights_fingerprint()
+
+    loaded = EmbeddingNet(params_from_dict(cfg))
+    loaded.load_model(path)
+    # encoder weights restored; fresh classifier kept; fingerprint equal
+    assert "classifier" in loaded.variables["params"]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(
+            loaded.variables["params"]["backbone"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(
+            params_no_clf["backbone"])[0]))
+    assert loaded.weights_fingerprint() == fp_saved
