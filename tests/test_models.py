@@ -219,9 +219,12 @@ def test_load_model_merges_encoder_view_export(tmp_path):
     }
     donor = EmbeddingNet(params_from_dict(cfg))
     # encoder-view export: params WITHOUT the classifier subtree
+    # (batch_stats travel with the encoder, like Trainer.encoder_variables)
     params_no_clf = {k: v for k, v in donor.variables["params"].items()
                      if k != "classifier"}
-    donor.variables = {"params": params_no_clf}
+    donor.variables = {"params": params_no_clf,
+                       **({"batch_stats": donor.variables["batch_stats"]}
+                          if "batch_stats" in donor.variables else {})}
     path = donor.save_base_model(str(tmp_path / "m"))
     fp_saved = donor.weights_fingerprint()
 
