@@ -194,8 +194,19 @@ def _fetch_at_rank(sorted_vals: jnp.ndarray, sorted_ids: jnp.ndarray,
     carrying value+id) with request entries (key = rank + 0.5), stable
     sort, carry the last-seen position value forward with a log-depth
     ``associative_scan``, and un-sort the requests back to column order.
+
+    The request block is zero-padded so the merged width is a multiple
+    of 512: TPU sort lowering is pathological at barely-over-a-round-
+    number widths (measured: [4096, 4100] sort compiles in 187 s vs
+    27 s at [4096, 4608]); the padded requests fetch rank 0 and are
+    sliced off.
     """
     r, n = sorted_vals.shape
+    q_real = ranks.shape[1]
+    pad = -(n + q_real) % 512
+    if pad:
+        ranks = jnp.concatenate(
+            [ranks, jnp.zeros((r, pad), ranks.dtype)], axis=1)
     q = ranks.shape[1]
     f32 = sorted_vals.dtype
     pos_keys = jnp.broadcast_to(jnp.arange(n, dtype=f32)[None, :], (r, n))
@@ -220,7 +231,8 @@ def _fetch_at_rank(sorted_vals: jnp.ndarray, sorted_ids: jnp.ndarray,
     v_c, i_c, _ = jax.lax.associative_scan(carry_last, (v_s, i_s, f_s),
                                            axis=1)
     _, v_u, i_u = jax.lax.sort((c_s, v_c, i_c), dimension=1, num_keys=1)
-    return v_u[:, n:], i_u[:, n:].astype(jnp.int32)
+    return (v_u[:, n:n + q_real],
+            i_u[:, n:n + q_real].astype(jnp.int32))
 
 
 def _row_histogram(ids: jnp.ndarray, n_bins: int) -> jnp.ndarray:
@@ -236,7 +248,8 @@ def _row_histogram(ids: jnp.ndarray, n_bins: int) -> jnp.ndarray:
 
 
 def _parity_forward_large(embeddings: jnp.ndarray, labels: jnp.ndarray,
-                          margin: float, mode: str, rng: jax.Array):
+                          margin: float, mode: str, rng: jax.Array,
+                          k_samples=None):
     """Production-scale parity mining forward: loss, stats, and the
     analytic gradient weight matrix W — O(B^2 log B), no [B, B, B].
 
@@ -257,11 +270,128 @@ def _parity_forward_large(embeddings: jnp.ndarray, labels: jnp.ndarray,
     ``(loss, stats, w, aux)`` where ``w`` is the weight matrix with
     ``d loss / d sq[a, b] = w[a, b]`` and aux carries the selected
     negative ids + masks (for oracle tests).
+
+    With ``k_samples`` set and a grouped P-K batch, the window COUNTS
+    come from the same [B, B, K] compare-reduce as the P-K batch-all path
+    instead of merged sorts; ``hardest`` needs no sort at all and the
+    stochastic modes keep only the one negative sort for the rank-window
+    fetch (measured vs the dense path at B=4096: docs/MINING.md).
+
+    Guard semantics differ from :func:`_batch_all_forward`: passing
+    ``k_samples`` ASSERTS the grouped layout — a violating batch poisons
+    the loss/gradient with NaN (caught by ``PERFORMANCE.debug_nans`` or
+    plainly visible) instead of falling back to the dense path. Fusing
+    both paths under ``lax.cond`` was measured to blow TPU compile time
+    past 45 minutes (the dense branch's [B, ~B] sort lowering is
+    pathological at several widths — see docs/BENCHMARKS.md "XLA flag"
+    note for the relay constraint); callers that cannot guarantee the
+    layout simply omit ``k_samples``.
     """
     b = labels.shape[0]
     dist = pairwise_l2(embeddings)
     sq = pairwise_sq_l2(embeddings)
     pos_mask, neg_mask = _masks(labels)
+    if (k_samples and 1 < k_samples < b and b % k_samples == 0):
+        fits = _pk_grouped(labels, k_samples)
+        loss, stats, w, aux = _parity_pk(dist, sq, pos_mask, neg_mask,
+                                         rng, margin, mode, k_samples)
+        poison = jnp.where(fits, 1.0, jnp.nan)
+        return loss * poison, stats, w * poison, aux
+    return _parity_dense(dist, sq, pos_mask, neg_mask, rng, margin, mode)
+
+
+def _parity_pk(dist, sq, pos_mask, neg_mask, rng, margin, mode, kk):
+    """P-K fast path of :func:`_parity_forward_large`: grouped batches put
+    every anchor's positives in a static block-diagonal, so the rank-window
+    bounds are [B, K] compare-reduces; one [B, B] negative sort remains for
+    the window fetch. Output contract (incl. the [B, B]-shaped aux) is
+    identical to :func:`_parity_dense` — ``lax.cond``-compatible."""
+    b = dist.shape[0]
+    g = b // kk
+    f32 = jnp.float32
+
+    # block-diagonal euclidean pair distances; unordered (a < p) pairs =
+    # upper-triangular slots within each block (blocks are contiguous)
+    eye_g = jnp.eye(g, dtype=dist.dtype)
+    d_blk = jnp.einsum("gihj,gh->gij", dist.reshape(g, kk, g, kk), eye_g)
+    slot_valid = (jnp.arange(kk)[:, None] < jnp.arange(kk)[None, :])
+    pair_valid = jnp.tile(slot_valid, (g, 1))               # [B, K]
+    d_pair = jnp.where(pair_valid, d_blk.reshape(b, kk), -jnp.inf)
+
+    neg_d = jnp.where(neg_mask, dist, jnp.inf)              # [B, B]
+    has_neg = jnp.any(neg_mask, axis=1)
+
+    if mode == "hardest":
+        min_neg = jnp.min(neg_d, axis=1)                    # [B]
+        k = jnp.where(
+            (d_pair > -jnp.inf) & has_neg[:, None]
+            & (d_pair - min_neg[:, None] + margin > 0.0), 1.0, 0.0)
+        k_lo = jnp.zeros((b, kk), f32)
+        ranks = jnp.zeros((b, kk), f32)
+    else:
+        # strict upper bound, inclusive lower bound — the dense path's
+        # _count_below tie conventions (ref datagenerators.py:192-199)
+        cmp_up = (neg_d[:, :, None]
+                  < (d_pair + margin)[:, None, :]).astype(f32)
+        k_hi = jnp.sum(cmp_up, axis=1)                      # [B, K]
+        if mode == "semihard":
+            cmp_lo = (neg_d[:, :, None] <= d_pair[:, None, :]).astype(f32)
+            k_lo = jnp.sum(cmp_lo, axis=1)
+        else:
+            k_lo = jnp.zeros((b, kk), f32)
+        k = jnp.where(pair_valid, jnp.maximum(k_hi - k_lo, 0.0), 0.0)
+        u = jax.random.uniform(rng, (b, kk), f32)
+        ranks = jnp.clip(k_lo + jnp.floor(u * k), 0.0, b - 1.0)
+
+    selected = (d_pair > -jnp.inf) & (k > 0)
+
+    if mode == "hardest":
+        # rank-0 fetch == per-anchor (min, argmin) over negatives: pure
+        # reduces, no sort (the [B, B] negative sort alone is ~40 ms at
+        # B=4096 — the whole hardest path runs in a few ms without it)
+        d_min = jnp.min(neg_d, axis=1)                      # [B]
+        n_min = jnp.argmin(neg_d, axis=1).astype(jnp.int32)
+        d_star = jnp.broadcast_to(d_min[:, None], (b, kk))
+        n_star = jnp.broadcast_to(n_min[:, None], (b, kk))
+    else:
+        ids0 = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[None, :],
+                                (b, b))
+        sorted_d, sorted_ids = jax.lax.sort((neg_d, ids0), dimension=1,
+                                            num_keys=1)
+        d_star, n_star = _fetch_at_rank(sorted_d, sorted_ids,
+                                        jnp.where(selected, ranks, 0.0))
+
+    sq_blk = jnp.einsum("gihj,gh->gij", sq.reshape(g, kk, g, kk),
+                        eye_g).reshape(b, kk)
+    sq_an = jnp.where(jnp.isfinite(d_star), d_star * d_star, jnp.inf)
+    hinge = jnp.maximum(sq_blk - sq_an + margin, 0.0)
+    n_sel = jnp.sum(selected)
+    denom = jnp.maximum(n_sel, 1).astype(f32)
+    loss = jnp.sum(jnp.where(selected, hinge, 0.0)) / denom
+
+    active = selected & (hinge > 0.0)
+    active_f = active.astype(f32)
+    w_pos = _pk_place_grouped(active_f, kk, b)
+    w_neg = jnp.sum((n_star[:, :, None]
+                     == jnp.arange(b)[None, None, :])
+                    & active[:, :, None], axis=1).astype(f32)
+    w = (w_pos - w_neg) / denom
+
+    stats = _stats(dist, pos_mask, neg_mask, n_sel,
+                   jnp.sum(pair_valid.astype(jnp.int32)) * 1)
+    place_i = lambda x: _pk_place_grouped(x.astype(f32), kk, b)
+    aux = {"selected": place_i(selected) > 0,
+           "active": place_i(active) > 0,
+           "n_star": place_i(n_star.astype(f32)).astype(jnp.int32),
+           "k": place_i(k),
+           "k_lo": place_i(k_lo) if mode == "semihard" else None}
+    return loss, stats, w, aux
+
+
+def _parity_dense(dist, sq, pos_mask, neg_mask, rng, margin, mode):
+    """The label-agnostic sorted-window path (see
+    :func:`_parity_forward_large` for the window semantics)."""
+    b = dist.shape[0]
     idx = jnp.arange(b)
     pair_mask = pos_mask & (idx[:, None] < idx[None, :])
     has_neg = jnp.any(neg_mask, axis=1)
@@ -319,20 +449,20 @@ def _parity_forward_large(embeddings: jnp.ndarray, labels: jnp.ndarray,
     return loss, stats, w, aux
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _parity_large_custom(embeddings, labels, rng, margin, mode):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _parity_large_custom(embeddings, labels, rng, margin, mode, k_samples):
     loss, stats, _, _ = _parity_forward_large(embeddings, labels, margin,
-                                              mode, rng)
+                                              mode, rng, k_samples)
     return loss, stats
 
 
-def _parity_large_fwd(embeddings, labels, rng, margin, mode):
+def _parity_large_fwd(embeddings, labels, rng, margin, mode, k_samples):
     loss, stats, w, _ = _parity_forward_large(embeddings, labels, margin,
-                                              mode, rng)
+                                              mode, rng, k_samples)
     return (loss, stats), (embeddings.astype(jnp.float32), w)
 
 
-def _parity_large_bwd(margin, mode, residuals, cotangents):
+def _parity_large_bwd(margin, mode, k_samples, residuals, cotangents):
     """Same piecewise-constant-W structure as the batch-all VJP:
     ``loss = sum(W * sq)`` + constants, so with ``S = W + W^T`` the
     embedding gradient is one MXU matmul (see :func:`_batch_all_bwd`)."""
@@ -349,11 +479,15 @@ _parity_large_custom.defvjp(_parity_large_fwd, _parity_large_bwd)
 
 
 def parity_mined_loss_large(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
-                            margin: float, mode: str, rng: jax.Array):
+                            margin: float, mode: str, rng: jax.Array,
+                            max_positives=None):
     """Reference-semantics mining at production batch (no [B,B,B]); see
-    :func:`_parity_forward_large`. Gradient is the analytic custom VJP."""
+    :func:`_parity_forward_large`. Gradient is the analytic custom VJP.
+    ``max_positives`` (= k_samples - 1 of a P-K batch) enables the
+    runtime-guarded compare-reduce fast path."""
+    k_samples = (max_positives + 1) if max_positives is not None else None
     return _parity_large_custom(embeddings.astype(jnp.float32), labels,
-                                rng, margin, mode)
+                                rng, margin, mode, k_samples)
 
 
 def batch_hard_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
@@ -665,14 +799,16 @@ def mined_triplet_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
             raise ValueError(f"mode={mode!r} requires an rng key")
         if b > _PARITY_CUBE_MAX_B:
             return parity_mined_loss_large(embeddings, labels, margin=margin,
-                                           mode=mode, rng=rng)
+                                           mode=mode, rng=rng,
+                                           max_positives=max_positives)
         return _parity_mined_loss(embeddings, labels, margin=margin,
                                   mode=mode, rng=rng)
     if mode == "hardest":
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if b > _PARITY_CUBE_MAX_B:
             return parity_mined_loss_large(embeddings, labels, margin=margin,
-                                           mode=mode, rng=rng)
+                                           mode=mode, rng=rng,
+                                           max_positives=max_positives)
         return _parity_mined_loss(embeddings, labels, margin=margin,
                                   mode=mode, rng=rng)
     if mode == "batch_hard":

@@ -257,8 +257,11 @@ class Trainer:
                 compute_dtype=self.compute_dtype,
                 remat=self.params.performance.remat,
                 # P-K batches bound positives per anchor; enables the
-                # compressed batch-all sort (runtime-guarded)
-                max_positives=max(g.k_samples - 1, 1))
+                # compare-reduce fast paths (batch-all: guarded fallback;
+                # parity modes: asserted layout — PKSampler guarantees it).
+                # k_samples=1 has no positives: claim nothing.
+                max_positives=(g.k_samples - 1 if g.k_samples >= 2
+                               else None))
             eval_step = steps.make_triplet_eval_step(
                 self.module, margin=g.margin,
                 compute_dtype=self.compute_dtype)

@@ -210,3 +210,109 @@ def test_large_parity_b1024_jits(rng_np):
             rng=jax.random.PRNGKey(0))[0]))
         out = g(jnp.array(emb))
         assert np.isfinite(np.asarray(out)).all()
+
+
+# -- P-K compare-reduce fast path (round-2) ----------------------------------
+
+def _pk_outputs(emb, labels, margin, mode, key, k_samples):
+    return mining._parity_forward_large(
+        jnp.array(emb), jnp.array(labels), margin, mode, key,
+        k_samples=k_samples)
+
+
+@pytest.mark.parametrize("margin", [0.3, 0.5])
+def test_parity_pk_hardest_matches_dense_exactly(rng_np, margin):
+    """hardest is deterministic: the P-K path must equal the dense
+    sorted-window path bit-for-bit (loss, W, selection)."""
+    emb, labels = make_batch(rng_np, k_classes=6, k_samples=4)
+    key = jax.random.PRNGKey(0)
+    l_d, s_d, w_d, aux_d = mining._parity_forward_large(
+        jnp.array(emb), jnp.array(labels), margin, "hardest", key)
+    l_p, s_p, w_p, aux_p = _pk_outputs(emb, labels, margin, "hardest",
+                                       key, k_samples=4)
+    np.testing.assert_allclose(float(l_p), float(l_d), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_d), atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(aux_p["selected"]),
+                                  np.asarray(aux_d["selected"]))
+    sel = np.asarray(aux_d["selected"])
+    np.testing.assert_array_equal(np.asarray(aux_p["n_star"])[sel],
+                                  np.asarray(aux_d["n_star"])[sel])
+    assert int(s_p.n_triplets) == int(s_d.n_triplets)
+
+
+@pytest.mark.parametrize("mode", ["random_hard", "semihard"])
+def test_parity_pk_selection_matches_oracle_support(rng_np, mode):
+    """Stochastic modes: the P-K path's selected pairs and windows match
+    the numpy oracle's candidate sets (choice randomness differs from the
+    dense path by design — only the distribution is specified)."""
+    emb, labels = make_batch(rng_np, k_classes=4, k_samples=4)
+    margin = 0.5
+    oracle = oracle_mine(emb, labels, margin, mode)
+    loss, stats, w, aux = _pk_outputs(emb, labels, margin, mode,
+                                      jax.random.PRNGKey(3), k_samples=4)
+    sel = np.asarray(aux["selected"])
+    n_star = np.asarray(aux["n_star"])
+    got_pairs = {(a, p) for a, p in zip(*np.nonzero(sel))}
+    assert got_pairs == set(oracle.keys())
+    for (a, p) in got_pairs:
+        assert n_star[a, p] in oracle[(a, p)], (a, p, n_star[a, p])
+    if oracle:
+        lo = np.mean([min(sq_hinge(emb, a, p, n, margin) for n in ns)
+                      for (a, p), ns in oracle.items()])
+        hi = np.mean([max(sq_hinge(emb, a, p, n, margin) for n in ns)
+                      for (a, p), ns in oracle.items()])
+        assert lo - 1e-5 <= float(loss) <= hi + 1e-5
+
+
+@pytest.mark.parametrize("mode", ["semihard", "hardest", "random_hard"])
+def test_parity_pk_guard_poisons_ungrouped_labels(rng_np, mode):
+    """Passing k_samples ASSERTS the grouped P-K layout: shuffled labels
+    must poison the loss AND the gradient with NaN (loud failure — a
+    dense fallback fused under lax.cond was measured to blow TPU compile
+    past 45 min; callers without the layout omit max_positives)."""
+    emb, labels = make_batch(rng_np, k_classes=5, k_samples=4)
+    perm = rng_np.permutation(len(labels))
+    emb, labels = emb[perm], labels[perm]
+    key = jax.random.PRNGKey(7)
+    l_g, s_g, w_g, _ = _pk_outputs(emb, labels, 0.5, mode, key,
+                                   k_samples=4)
+    assert np.isnan(float(l_g))
+    assert np.isnan(np.asarray(w_g)).all()
+    g = jax.grad(lambda e: mining.parity_mined_loss_large(
+        e, jnp.array(labels), margin=0.5, mode=mode, rng=key,
+        max_positives=3)[0])(jnp.array(emb))
+    assert np.isnan(np.asarray(g)).any()
+    # grouped labels with the same call stay finite
+    emb2, labels2 = make_batch(rng_np, k_classes=5, k_samples=4)
+    l_ok, _, w_ok, _ = _pk_outputs(emb2, labels2, 0.5, mode, key,
+                                   k_samples=4)
+    assert np.isfinite(float(l_ok))
+
+
+@pytest.mark.parametrize("mode", ["semihard", "hardest", "random_hard"])
+def test_parity_pk_gradient_matches_realized_selection(rng_np, mode):
+    """Analytic W gradient == autodiff through the REALIZED selection
+    (recompute the loss from aux's fixed choices, differentiate that)."""
+    emb, labels = make_batch(rng_np, k_classes=4, k_samples=3, dim=8)
+    margin = 0.5
+    key = jax.random.PRNGKey(11)
+    _, _, _, aux = _pk_outputs(emb, labels, margin, mode, key, k_samples=3)
+    sel = np.asarray(aux["selected"])
+    n_star = np.asarray(aux["n_star"])
+    pairs = list(zip(*np.nonzero(sel)))
+
+    def realized_loss(e):
+        if not pairs:
+            return jnp.float32(0.0)
+        terms = [jnp.maximum(
+            jnp.sum((e[a] - e[p]) ** 2) - jnp.sum((e[a] - e[n_star[a, p]])
+                                                  ** 2) + margin, 0.0)
+            for a, p in pairs]
+        return jnp.sum(jnp.stack(terms)) / len(pairs)
+
+    g_ref = jax.grad(realized_loss)(jnp.array(emb))
+    g_pk = jax.grad(lambda e: mining.parity_mined_loss_large(
+        e, jnp.array(labels), margin=margin, mode=mode, rng=key,
+        max_positives=2)[0])(jnp.array(emb))
+    np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-5)
