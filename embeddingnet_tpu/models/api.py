@@ -155,9 +155,18 @@ class EmbeddingNet:
                    np.asarray(leaf))
                   for path, leaf in
                   jax.tree_util.tree_leaves_with_path(self.variables)]
-        leaves = [(p, a) for p, a in leaves if "classifier" not in p]
+        # Exclude exactly the top-level 'classifier' module (path shape is
+        # '<collection>/classifier/...'), not any path merely containing
+        # the substring — a future head named e.g. 'embeddings_classifier'
+        # must still be hashed.
+        leaves = [(p, a) for p, a in leaves
+                  if not (len(p.split("/")) >= 2
+                          and p.split("/")[1] == "classifier")]
         for path, arr in sorted(leaves):
             h.update(path.encode())
+            # dtype+shape folded in so reshaped/recast-but-identical-byte
+            # trees cannot collide
+            h.update(f"{arr.dtype}{arr.shape}".encode())
             h.update(np.ascontiguousarray(arr).tobytes())
         return h.hexdigest()[:16]
 
@@ -344,20 +353,51 @@ class EmbeddingNet:
         """Restore encoder variables saved by :meth:`save_base_model`
         (``models.py:92-102`` equivalent).
 
-        Merges into the fresh-init template: arcface/siamese training
-        exports the *encoder view* of the param tree, which has no
-        ``classifier`` subtree (the reference's Dense(1, sigmoid) head,
-        unused in retrieval) — subtrees absent from the file keep their
-        fresh initialization instead of failing the strict restore.
+        Merges into the fresh-init template with an explicit leniency
+        allowlist: arcface/siamese training exports the *encoder view* of
+        the param tree, which has no ``classifier`` subtree (the
+        reference's Dense(1, sigmoid) head, unused in retrieval) — ONLY
+        that subtree may be absent from the file and keep its fresh
+        initialization. Any other missing subtree raises (a truncated or
+        architecture-mismatched checkpoint must not silently yield a
+        partially random encoder), and saved keys that don't exist in the
+        template warn.
         """
         with open(file_path, "rb") as f:
             raw = serialization.msgpack_restore(f.read())
 
-        def merge(template, saved):
+        # Missing-subtree leniency is restricted to the classifier head
+        # directly under a variable collection ('params/classifier', ...).
+        def _lenient(path):
+            return len(path) == 2 and path[1] == "classifier"
+
+        def merge(template, saved, path=()):
             if not isinstance(template, dict):
                 return saved
-            return {k: (merge(v, saved[k]) if k in saved else v)
-                    for k, v in template.items()}
+            if not isinstance(saved, dict):
+                raise ValueError(
+                    f"checkpoint structure mismatch at {'/'.join(path)}: "
+                    f"expected a subtree, file has a leaf")
+            extra = set(saved) - set(template)
+            if extra:
+                import warnings
+                warnings.warn(
+                    f"checkpoint has keys not in the model at "
+                    f"{'/'.join(path) or '<root>'}: {sorted(extra)} — "
+                    f"ignored", stacklevel=2)
+            out = {}
+            for k, v in template.items():
+                child = path + (k,)
+                if k in saved:
+                    out[k] = merge(v, saved[k], child)
+                elif _lenient(child):
+                    out[k] = v  # encoder-view export: fresh head is fine
+                else:
+                    raise KeyError(
+                        f"checkpoint is missing required subtree "
+                        f"'{'/'.join(child)}' — wrong architecture or "
+                        f"truncated file ({file_path})")
+            return out
 
         self.variables = merge(self.variables, raw)
         return self

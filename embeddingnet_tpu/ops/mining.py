@@ -296,6 +296,15 @@ def _parity_forward_large(embeddings: jnp.ndarray, labels: jnp.ndarray,
         loss, stats, w, aux = _parity_pk(dist, sq, pos_mask, neg_mask,
                                          rng, margin, mode, k_samples)
         poison = jnp.where(fits, 1.0, jnp.nan)
+        # Poison the logged stats too: a layout violation must show up in
+        # the same step's metrics (NaN frac/dists, n_triplets = -1), not
+        # only in params many steps later.
+        stats = MiningStats(
+            n_triplets=jnp.where(fits, stats.n_triplets, -1),
+            n_candidates=jnp.where(fits, stats.n_candidates, -1),
+            frac_mined=stats.frac_mined * poison,
+            mean_pos_dist=stats.mean_pos_dist * poison,
+            mean_neg_dist=stats.mean_neg_dist * poison)
         return loss * poison, stats, w * poison, aux
     return _parity_dense(dist, sq, pos_mask, neg_mask, rng, margin, mode)
 

@@ -17,10 +17,24 @@ from typing import Dict, List, Optional
 
 
 def monitor_mode(monitor: str) -> str:
-    """'max' for higher-is-better metrics (recall/accuracy), else 'min' —
-    the Keras mode='auto' resolution rule."""
-    m = (monitor or "").lower()
-    return "max" if ("recall" in m or "acc" in m) else "min"
+    """'max' for higher-is-better metrics (recall/accuracy), else 'min'.
+
+    Deliberate deviation from Keras mode='auto' (which only flips to max
+    for names containing 'acc'/'fmeasure', so 'val_recall1' would resolve
+    to min and the best-checkpoint logic would save the WORST epoch): here
+    recall-family metrics are recognized too. Matching is on whole
+    '_'-separated tokens with an allowed numeric suffix ('val_recall1',
+    'top5_acc'), not substrings, so a metric merely containing the letters
+    'acc' mid-token is not max-moded.
+    """
+    tokens = (monitor or "").lower().replace("-", "_").split("_")
+    maxish = ("recall", "acc", "accuracy", "fmeasure", "precision", "top",
+              "auc", "f1", "map")
+    for t in tokens:
+        stem = t.rstrip("0123456789")
+        if stem in maxish or t in maxish:
+            return "max"
+    return "min"
 
 
 class ReduceLROnPlateau:

@@ -391,11 +391,52 @@ class Trainer:
         if prev is not None:
             yield prev
 
+    def _check_pk_layout(self, loader):
+        """One-time host-side guard for the asserted-layout miner paths.
+
+        With ``max_positives`` armed, `ops/mining.py` POISONS loss/grad/
+        stats with NaN on a non-grouped batch instead of branching (the
+        lax.cond fallback blew TPU compile time — docs/BENCHMARKS.md).
+        PKSampler guarantees the layout; a custom loader might not, and
+        NaN-poisoning is the worst failure mode to debug. Checking the
+        first batch per epoch on host costs nothing (labels are a tiny
+        int array still host-resident here) and converts the poison into
+        an immediate, named error.
+        """
+        g = self.params.generator
+        k = g.k_samples
+        # only the parity modes poison; batch_all/batch_hard carry a
+        # lax.cond fallback and are safe on any layout
+        from embeddingnet_tpu.ops.mining import FAST_MODES
+        armed = (self.mode == "triplet" and k >= 2
+                 and g.negatives_selection_mode not in FAST_MODES)
+        first = True
+        for batch in loader:
+            if first and armed:
+                labels = np.asarray(batch[1])
+                b = labels.shape[0]
+                if 1 < k < b and b % k == 0:
+                    blocks = labels.reshape(b // k, k)
+                    grouped = bool(np.all(blocks == blocks[:, :1]))
+                    counts = (labels[:, None] == labels[None, :]).sum(1) - 1
+                    if not (grouped and bool(np.all(counts == k - 1))):
+                        raise ValueError(
+                            "triplet train batch is not grouped P-K: with "
+                            f"GENERATOR.k_samples={k} the miner asserts "
+                            "contiguous groups of k_samples same-class "
+                            "images with no class split across groups "
+                            "(PKSampler produces this). A custom loader "
+                            "must either honor that layout or unset "
+                            "k_samples (slower dense mining).")
+                first = False
+            yield batch
+
     def _run_train_epoch(self) -> dict:
         totals_dev, count = None, 0
         images_seen = 0
         t0 = time.perf_counter()
-        for batch in self._device_prefetch(self._train_loader()):
+        for batch in self._device_prefetch(
+                self._check_pk_layout(self._train_loader())):
             self.state, metrics = self._dispatch_train(batch)
             # accumulate ON DEVICE: a per-step float() sync would add a
             # host round-trip per step and serialize decode with compute;

@@ -69,6 +69,14 @@ bool decode_jpeg(FILE* f, Image* out, int target_h, int target_w) {
     while (m > 1 && int(cinfo.image_height) * (m - 1) / 8 >= target_h &&
            int(cinfo.image_width) * (m - 1) / 8 >= target_w)
       --m;
+#ifndef JCS_EXTENSIONS
+    // Plain libjpeg (pre-v7) only honors 1/1, 1/2, 1/4, 1/8 and silently
+    // recomputes other M/8 ratios — possibly to something SMALLER than
+    // the target, turning the bilinear pass into an upscale. Round m up
+    // to the next power of two so the decode is always >= target.
+    // libjpeg-turbo (the JCS_EXTENSIONS build) honors all M/8.
+    while (m != 1 && m != 2 && m != 4 && m != 8) ++m;
+#endif
     cinfo.scale_num = m;
     cinfo.scale_denom = 8;
   }
