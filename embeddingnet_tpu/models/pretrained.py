@@ -410,6 +410,99 @@ def hf_vit_to_flax(state_dict, depth: int):
     return params
 
 
+def clip_vit_to_flax(state_dict, depth: int):
+    """HuggingFace CLIP vision tower state_dict -> params for
+    :class:`models.vit.ViT` with the CLIP flags (``vit-l14`` /
+    ``clip-vit-b16``/``b32`` registry names) — BASELINE.json configs[4],
+    the reference's named-preset download (``backbones.py:96-104``)
+    restated for CLIP checkpoints in the zero-egress flow.
+
+    Accepts either a ``CLIPVisionModel(WithProjection)`` state_dict
+    (keys under ``vision_model.*``) or a full ``CLIPModel`` one (same,
+    plus ``visual_projection.weight``). Name mapping:
+
+    * ``vision_model.embeddings.patch_embedding.weight`` (OIHW, no bias)
+      -> ``patch_embed`` (HWIO);
+    * ``embeddings.class_embedding`` [D] -> ``cls_token`` [1, 1, D];
+    * ``embeddings.position_embedding.weight`` [L, D] (an nn.Embedding)
+      -> ``pos_embed`` [1, L, D];
+    * ``pre_layrnorm`` (the HF key really is misspelled) -> ``ln_pre``;
+    * ``encoder.layers.{i}`` -> ``block{i+1}``: ``layer_norm1/2`` ->
+      ``ln1/ln2``, ``self_attn.{q,k,v,out}_proj`` reshaped to Flax
+      MultiHeadDotProductAttention's [D, H, hd] / [H, hd, D] layout,
+      ``mlp.fc1/fc2`` verbatim (transposed);
+    * ``post_layernorm`` -> ``ln_final``;
+    * ``visual_projection.weight`` [P, D] (no bias; also found as
+      ``visual_projection.weight`` on WithProjection models) ->
+      ``proj.kernel`` [D, P]. Absent projection -> omitted (load into a
+      ``proj_dim=None`` module).
+
+    Oracle-tested against a live ``transformers.CLIPVisionModel
+    WithProjection`` forward in ``tests/test_parity.py`` (random weights,
+    no downloads): token 0 of ``return_tokens=True`` equals
+    ``image_embeds`` exactly.
+    """
+    def arr(name):
+        v = state_dict[name]
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else \
+            np.asarray(v)
+
+    vm = ("vision_model." if any(k.startswith("vision_model.")
+                                 for k in state_dict) else "")
+    pe = arr(f"{vm}embeddings.patch_embedding.weight")          # OIHW
+    dim = pe.shape[0]
+
+    params: Dict[str, Any] = {
+        "patch_embed": {"kernel": np.transpose(pe, (2, 3, 1, 0))},
+        "cls_token": arr(f"{vm}embeddings.class_embedding").reshape(
+            1, 1, dim),
+        "pos_embed": arr(f"{vm}embeddings.position_embedding.weight")[
+            None, :, :],
+        "ln_pre": {"scale": arr(f"{vm}pre_layrnorm.weight"),
+                   "bias": arr(f"{vm}pre_layrnorm.bias")},
+        "ln_final": {"scale": arr(f"{vm}post_layernorm.weight"),
+                     "bias": arr(f"{vm}post_layernorm.bias")},
+    }
+    for proj_key in ("visual_projection.weight",
+                     f"{vm}visual_projection.weight"):
+        if proj_key in state_dict:
+            params["proj"] = {"kernel": arr(proj_key).T}        # [D, P]
+            break
+
+    heads = int(state_dict.get("__num_heads__", dim // 64))
+    hd = dim // heads
+
+    def qkv(name):
+        w = arr(name + ".weight")          # [D_out, D_in] torch
+        b = arr(name + ".bias")
+        return {"kernel": w.T.reshape(dim, heads, hd),
+                "bias": b.reshape(heads, hd)}
+
+    for i in range(depth):
+        p = f"{vm}encoder.layers.{i}"
+        out_w = arr(f"{p}.self_attn.out_proj.weight")           # [D, D]
+        params[f"block{i + 1}"] = {
+            "ln1": {"scale": arr(f"{p}.layer_norm1.weight"),
+                    "bias": arr(f"{p}.layer_norm1.bias")},
+            "attn": {
+                "query": qkv(f"{p}.self_attn.q_proj"),
+                "key": qkv(f"{p}.self_attn.k_proj"),
+                "value": qkv(f"{p}.self_attn.v_proj"),
+                "out": {"kernel": out_w.T.reshape(heads, hd, dim),
+                        "bias": arr(f"{p}.self_attn.out_proj.bias")},
+            },
+            "ln2": {"scale": arr(f"{p}.layer_norm2.weight"),
+                    "bias": arr(f"{p}.layer_norm2.bias")},
+            "mlp": {
+                "fc1": {"kernel": arr(f"{p}.mlp.fc1.weight").T,
+                        "bias": arr(f"{p}.mlp.fc1.bias")},
+                "fc2": {"kernel": arr(f"{p}.mlp.fc2.weight").T,
+                        "bias": arr(f"{p}.mlp.fc2.bias")},
+            },
+        }
+    return params
+
+
 def keras_densenet_to_flax(keras_model, block_sizes):
     """keras.applications.DenseNet* (include_top=False) -> (params,
     batch_stats) for :class:`models.densenet.DenseNet`.

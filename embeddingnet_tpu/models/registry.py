@@ -54,7 +54,8 @@ def list_backbones():
             + ["mobilenet", "mobilenetv2", "inceptionv3", "inceptionresnetv2",
                "xception", "nasnetmobile", "nasnetlarge",
                "densenet121", "densenet169", "densenet201",
-               "vgg16", "vgg19", "vit-b16", "vit-l14"])
+               "vgg16", "vgg19", "vit-b16", "vit-l14",
+               "clip-vit-b16", "clip-vit-b32"])
 
 
 def _build_backbone(name: str, encodings_len: int,
@@ -101,7 +102,7 @@ def _build_backbone(name: str, encodings_len: int,
     if name in ("vgg16", "vgg19"):
         from embeddingnet_tpu.models import vgg as _vgg
         return (getattr(_vgg, name)(dtype=dtype), False)
-    if name.startswith("vit"):
+    if name.startswith("vit") or name.startswith("clip-vit"):
         from embeddingnet_tpu.models.vit import build_vit
         return build_vit(name, dtype=dtype), False
     raise ValueError(

@@ -585,6 +585,35 @@ class Trainer:
         if not len(db_emb) or not len(q_emb):
             return {}
         k5 = min(5, len(db_labels))
+        d_axis = self.mesh.shape["data"] if self.mesh is not None else 1
+        if d_axis > 1 and len(db_labels) >= 2 * d_axis:
+            # Mesh-sharded encodings-database kNN (BASELINE configs[3]):
+            # DB rows shard over the data axis, queries replicate, two-stage
+            # exact top-k rides ICI (parallel/sharded_knn.py). Pad the DB to
+            # a multiple of the axis with far-away rows (label -1 one-hots
+            # to a zero vote row and can never enter the top-k).
+            from embeddingnet_tpu.parallel.sharded_knn import sharded_knn
+            lab_ids = np.array([cid[l] for l in db_labels], np.int32)
+            pad = (-len(db_labels)) % d_axis
+            db_p = np.concatenate(
+                [db_emb, np.full((pad, db_emb.shape[1]), 1e6, np.float32)]
+            ) if pad else db_emb
+            lab_p = np.concatenate(
+                [lab_ids, np.full((pad,), -1, np.int32)]) if pad else lab_ids
+            if not hasattr(self, "_sharded_knn_jit") or \
+                    self._sharded_knn_shape != (k5, len(classes)):
+                self._sharded_knn_jit = jax.jit(sharded_knn(
+                    self.mesh, k=k5, n_classes=len(classes)))
+                self._sharded_knn_shape = (k5, len(classes))
+            _, _, idx5 = self._sharded_knn_jit(
+                jnp2.asarray(db_p), jnp2.asarray(lab_p), jnp2.asarray(q_emb))
+            idx5 = np.asarray(idx5)
+            pred = lab_ids[idx5[:, 0]]          # nearest neighbor = top-1
+            top1 = np.mean([classes[pred[i]] == val_labels[i]
+                            for i in range(len(val_labels))])
+            top5 = np.mean([val_labels[i] in {db_labels[j] for j in idx5[i]}
+                            for i in range(len(val_labels))])
+            return {"val_recall1": float(top1), "val_recall5": float(top5)}
         pred, _ = knn_ops.knn_classify(
             jnp2.asarray(db_emb),
             jnp2.asarray(np.array([cid[l] for l in db_labels], np.int32)),

@@ -140,3 +140,15 @@ def test_validation_errors():
         params_from_dict({"MODEL": {"input_shape": [48, 48]}})
     with pytest.raises(ConfigError):
         params_from_dict({"MODEL": {"unknown_key": 1}})
+
+
+def test_every_shipped_config_parses():
+    """The configs/ fleet (BASELINE.json's five experiments) stays loadable."""
+    import glob
+    import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    configs = sorted(glob.glob(os.path.join(repo_root, "configs", "*.yml")))
+    assert len(configs) >= 5
+    for path in configs:
+        params = parse_params(path)
+        assert params.model.backbone_name  # parsed + validated

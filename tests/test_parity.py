@@ -417,3 +417,47 @@ def test_nasnet_skip_reduction_parity():
         jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+
+
+def test_clip_vit_converter_parity():
+    """clip_vit_to_flax vs a live transformers.CLIPVisionModelWithProjection
+    forward (random weights, tiny config) — validates ln_pre, quick-GELU,
+    the bias-free patch conv, class/position embedding layout, and the
+    visual projection: token 0 of ``return_tokens=True`` must equal CLIP's
+    ``image_embeds`` (visual_projection(post_layernorm(cls)))."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    from embeddingnet_tpu.models.vit import ViT
+
+    cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, image_size=32, patch_size=8,
+        projection_dim=16, hidden_act="quick_gelu",
+        attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModelWithProjection(cfg).eval()
+
+    sd = dict(hf.state_dict())
+    sd["__num_heads__"] = 2
+    params = pretrained.clip_vit_to_flax(sd, depth=2)
+
+    module = ViT(patch=8, dim=32, depth=2, heads=2, ln_pre=True,
+                 use_quick_gelu=True, patch_bias=False, proj_dim=16,
+                 ln_eps=cfg.layer_norm_eps)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    tokens = module.apply({"params": params}, jnp.asarray(x), train=False,
+                          return_tokens=True)
+    assert tokens.shape == (2, 17, 16)
+
+    with torch.no_grad():
+        image_embeds = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                          ).image_embeds.numpy()
+    np.testing.assert_allclose(np.asarray(tokens[:, 0, :]), image_embeds,
+                               rtol=1e-4, atol=1e-5)
+
+    # the 4D backbone contract holds with the projection width
+    grid = module.apply({"params": params}, jnp.asarray(x), train=False)
+    assert grid.shape == (2, 4, 4, 16)
+    assert np.isfinite(np.asarray(grid)).all()
