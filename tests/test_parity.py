@@ -168,7 +168,61 @@ def test_efficientnet_backbone_parity(variant):
         jnp.asarray(raw / 255.0), train=False))
 
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-2)
+    # north-star parity: the r2 5e-3 tolerance was slack, not error — the
+    # ported stack is float-exact (measured 3e-11 at 64px on CPU)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-4)
+
+
+def test_embedding_parity_efficientnet_b1():
+    """Full encoder parity for the reference's DEFAULT backbone
+    (efficientnet-b1, configs/road_signs_apollo.yml:6): ported weights +
+    GAP head, L2-normalized embedding <1e-5 vs the Keras equivalent
+    (backbones.py:83-98 + 110-121) — BASELINE.md's bitwise-comparable
+    target on the family the reference actually ships."""
+    input_shape = (64, 64, 3)
+    encodings_len = 64
+    keras_backbone = tf.keras.applications.EfficientNetB1(
+        weights=None, include_top=False, input_shape=input_shape)
+    from tensorflow.keras.layers import Dense, GlobalAveragePooling2D, Lambda
+    from tensorflow.keras.models import Model
+    import tensorflow.keras.backend as K
+
+    x = GlobalAveragePooling2D()(keras_backbone.output)
+    x = Dense(encodings_len // 2, activation="relu", name="head_d1")(x)
+    x = Dense(encodings_len, activation="relu", name="head_d2")(x)
+    x = Lambda(lambda t: K.l2_normalize(t, axis=1))(x)
+    keras_model = Model(inputs=[keras_backbone.input], outputs=[x])
+
+    rng = np.random.default_rng(2)
+    raw = rng.uniform(0, 255, size=(2,) + input_shape).astype(np.float32)
+    ref_out = keras_model.predict(raw, verbose=0)
+
+    from embeddingnet_tpu.models.efficientnet import EfficientNet, SCALINGS
+    from embeddingnet_tpu.models.heads import EmbeddingHead
+    import flax.linen as nn
+
+    w_c, d_c, _ = SCALINGS["efficientnet-b1"]
+
+    class Encoder(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            feats = EfficientNet(width_coefficient=w_c,
+                                 depth_coefficient=d_c,
+                                 name="backbone")(x, train=False)
+            return EmbeddingHead(encodings_len, True, name="head")(feats)
+
+    params, batch_stats = pretrained.keras_efficientnet_to_flax(
+        keras_backbone)
+    d1_k, d1_b = keras_model.get_layer("head_d1").get_weights()
+    d2_k, d2_b = keras_model.get_layer("head_d2").get_weights()
+    variables = {
+        "params": {"backbone": params,
+                   "head": {"dense_1": {"kernel": d1_k, "bias": d1_b},
+                            "dense_2": {"kernel": d2_k, "bias": d2_b}}},
+        "batch_stats": {"backbone": batch_stats},
+    }
+    out = np.asarray(Encoder().apply(variables, jnp.asarray(raw / 255.0)))
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-4)
 
 
 def test_mobilenetv2_backbone_parity():
