@@ -43,6 +43,13 @@ BASELINE_STEPS = int(os.environ.get("BENCH_BASELINE_STEPS", 3))
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_LOCAL.json")
 
+# Measured once, carried as constants (provenance in docs/BENCHMARKS.md):
+# the genuine reference repo's images/sec on this host's CPU (r2,
+# tools/measure_reference.py) and the chip's measured bf16 matmul
+# ceiling (tools/perf_probe4.py sweep).
+GENUINE_REF_IPS = 13.3
+MEASURED_PEAK_FLOPS = 146.6e12
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -99,6 +106,15 @@ def bench_ours(batch, augment: bool = False):
 
     log(f"[{tag}] compiling train step (batch={batch}, img={IMG}) ...")
     t0 = time.perf_counter()
+    # XLA cost-model FLOPs of the whole compiled step (for the MFU% field)
+    flops = None
+    try:
+        cost = step.lower(state, images, labels).compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(c.get("flops", 0.0)) or None
+    except Exception as e:
+        log(f"[{tag}] cost analysis unavailable: {e!r}")
     state, metrics = step(state, images, labels)
     jax.block_until_ready(metrics)
     log(f"[{tag}] compile+first step: {time.perf_counter() - t0:.1f}s")
@@ -122,7 +138,7 @@ def bench_ours(batch, augment: bool = False):
     ips = batch / dt
     log(f"[{tag}] {dt * 1e3:.1f} ms/step -> {ips:.0f} images/sec/chip "
         f"(loss={loss:.4f})")
-    return ips
+    return ips, (flops / dt if flops else None)
 
 
 def bench_reference_emulation(batch):
@@ -284,16 +300,16 @@ def main():
     except Exception as e:
         log(f"[mining] supplementary metric failed: {e!r}")
     try:
-        ours = bench_ours(batch)
+        ours, flops_rate = bench_ours(batch)
     except Exception as e:  # OOM fallback
         if "RESOURCE_EXHAUSTED" not in str(e):
             raise
         log(f"[ours] batch {batch} OOM; retrying at {batch // 2}")
         batch = batch // 2
-        ours = bench_ours(batch)
+        ours, flops_rate = bench_ours(batch)
 
     try:
-        ours_aug = bench_ours(batch, augment=True)
+        ours_aug, _ = bench_ours(batch, augment=True)
     except Exception as e:
         log(f"[ours+aug] augmented headline failed: {e!r}")
         ours_aug = None
@@ -314,6 +330,16 @@ def main():
         # honest companion number: the flagship config trains WITH the
         # 'default' augmentation preset enabled (VERDICT r1 weak #3)
         "augmented_value": round(ours_aug, 1) if ours_aug else None,
+        # genuine reference measurement: the actual Keras repo's train
+        # step on this machine's CPU (tools/measure_reference.py, r2:
+        # 13.3 img/s; TF has no TPU access here — measured once, carried
+        # as a constant; provenance docs/BENCHMARKS.md "North-star")
+        "vs_reference_genuine": round(ours / GENUINE_REF_IPS, 1),
+        # XLA cost-model FLOPs / step-time, as % of the chip's measured
+        # bf16 matmul ceiling (tools/perf_probe4.py: 146.6 TFLOP/s)
+        "mfu_pct_of_measured_ceiling": (
+            round(100.0 * flops_rate / MEASURED_PEAK_FLOPS, 1)
+            if flops_rate else None),
     }))
 
 

@@ -43,7 +43,7 @@ def test_blur3_matches_box_filter(batch):
         expected = cv2.blur(np.asarray(batch)[i], (3, 3),
                             borderType=cv2.BORDER_CONSTANT)
         # interior pixels must match exactly (border handling differs:
-        # jax pads zeros without renormalization, cv2 BORDER_CONSTANT too)
+        # ours edge-pads, the cv2 oracle zero-pads)
         np.testing.assert_allclose(out[i][1:-1, 1:-1], expected[1:-1, 1:-1],
                                    rtol=1e-4, atol=1e-3)
 
@@ -130,18 +130,23 @@ def test_augment_deterministic_per_key(batch):
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
-def np_clahe_tiled(lum, grid=4, clip_limit=4.0, n_bins=64):
+def np_clahe_tiled(lum, grid=4, clip_limit=4.0, n_bins=64,
+                   stats_stride=2):
     """Numpy oracle of the same tile-CLAHE definition: per-tile clipped
-    CDFs, bilinear interpolation between tile centers, edge clamp."""
+    CDFs from every stats_stride-th pixel (the device kernel's documented
+    deviation), bilinear interpolation between tile centers, edge clamp."""
     hh, ww = lum.shape
     th, tw = hh // grid, ww // grid
+    s = stats_stride
     bins = np.clip((lum / 256.0 * n_bins).astype(int), 0, n_bins - 1)
+    bins_s = bins[::s, ::s]
+    ths, tws = th // s, tw // s
     cdfs = np.zeros((grid, grid, n_bins))
-    npix = th * tw
+    npix = ths * tws
     clip_count = clip_limit * npix / n_bins
     for i in range(grid):
         for j in range(grid):
-            tb = bins[i*th:(i+1)*th, j*tw:(j+1)*tw]
+            tb = bins_s[i*ths:(i+1)*ths, j*tws:(j+1)*tws]
             hist = np.bincount(tb.ravel(), minlength=n_bins).astype(float)
             clipped = np.minimum(hist, clip_count)
             excess = hist.sum() - clipped.sum()
@@ -191,7 +196,8 @@ def test_clahe_tiled_close_to_cv2(rng_np):
     x = jnp.asarray(np.repeat(gray[None, :, :, None], 3, axis=-1),
                     jnp.float32)
     out = np.asarray(augment.clahe_tiled(x, jax.random.PRNGKey(0), p=1.0,
-                                         grid=4, n_bins=256))[0, :, :, 0]
+                                         grid=4, n_bins=256,
+                                         stats_stride=1))[0, :, :, 0]
     corr = np.corrcoef(out.ravel(), ref.astype(float).ravel())[0, 1]
     assert corr > 0.98
     assert np.abs(out - ref).mean() < 12  # integer-LUT + border rounding
@@ -201,3 +207,16 @@ def test_clahe_tiled_fallback_on_awkward_shapes(rng_np):
     x = jnp.asarray(rng_np.uniform(0, 255, (2, 30, 30, 3)), jnp.float32)
     out = augment.clahe_tiled(x, jax.random.PRNGKey(0), p=1.0, grid=4)
     assert out.shape == x.shape  # falls back to the global approximation
+
+
+def test_clahe_stats_stride_deviation_small(rng_np):
+    """The stats_stride=2 histogram subsample (the r3 perf deviation) is
+    bounded even on its worst case — uniform noise (64 samples for a
+    64-bin tile histogram); natural images measure ~2 gray levels mean
+    (documented at the definition site)."""
+    x = jnp.asarray(rng_np.uniform(0, 255, (4, 64, 64, 3)), jnp.float32)
+    full = np.asarray(augment.clahe_tiled(x, jax.random.PRNGKey(0), p=1.0,
+                                          grid=4, stats_stride=1))
+    sub = np.asarray(augment.clahe_tiled(x, jax.random.PRNGKey(0), p=1.0,
+                                         grid=4, stats_stride=2))
+    assert np.abs(full - sub).mean() < 7.0
