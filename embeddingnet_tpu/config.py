@@ -298,6 +298,12 @@ class PerformanceConfig(_SectionBase):
     # Double-buffered host->device transfer: enqueue batch N+1's async
     # device_put while step N computes (train/loop.py:_device_prefetch).
     device_prefetch: bool = True
+    # In-RAM cache of decoded+resized uint8 images, in megabytes (0 =
+    # off). Exact: augmentation draws fresh RNG on device, so cached
+    # pixels equal a re-decode. Sized for the dataset at input_shape
+    # (e.g. 12.8k images @96px = ~350 MB); epochs after the first skip
+    # the host jpeg-decode wall entirely (data/pipeline.DecodeCache).
+    decode_cache_mb: int = 0
     # DCT-prescaled JPEG decode in the native loader: ~1.5x decode
     # throughput at >= 2:1 downscales, at a measured mean ~1.2 gray-level
     # deviation from the exact cv2 path (data/native_loader.py). Off by

@@ -12,4 +12,4 @@ generator->model cycle (mining called ``predict`` from the data loader,
 from embeddingnet_tpu.data.index import ENDataLoader  # noqa: F401
 from embeddingnet_tpu.data.samplers import (  # noqa: F401
     PKSampler, PairSampler, SimpleSampler, TripletSampler)
-from embeddingnet_tpu.data.pipeline import BatchLoader  # noqa: F401
+from embeddingnet_tpu.data.pipeline import BatchLoader, DecodeCache  # noqa: F401

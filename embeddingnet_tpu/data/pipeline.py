@@ -20,6 +20,36 @@ import numpy as np
 from embeddingnet_tpu.data.images import get_image
 
 
+class DecodeCache:
+    """In-RAM cache of decoded+resized uint8 images, shared across the
+    per-epoch BatchLoader instances (PERFORMANCE.decode_cache_mb).
+
+    Exact — augmentation runs on device from fresh RNG, so cached pixels
+    are identical to a re-decode. After the first epoch a cached dataset
+    feeds the device at memcpy speed instead of jpeg-decode speed (the
+    1-CPU end-to-end wall in docs/BENCHMARKS.md is decode). The byte
+    budget caps growth and simply stops inserting once full — epoch
+    access is near-uniform, so evictions would thrash.
+    """
+
+    def __init__(self, budget_mb: int):
+        self.budget = int(budget_mb) * (1 << 20)
+        self._data = {}
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    def get_many(self, paths):
+        with self._lock:
+            return [self._data.get(p) for p in paths]
+
+    def put(self, path, img: np.ndarray):
+        with self._lock:
+            if path in self._data or self._bytes + img.nbytes > self.budget:
+                return
+            self._data[path] = img
+            self._bytes += img.nbytes
+
+
 class BatchLoader:
     """Iterate device-ready uint8 batches from a sampler.
 
@@ -31,12 +61,14 @@ class BatchLoader:
     def __init__(self, sampler, input_shape: Sequence[int],
                  num_workers: int = 8, prefetch: int = 4,
                  n_batches: Optional[int] = None, backend: str = "auto",
-                 fast_decode: bool = False):
+                 fast_decode: bool = False,
+                 cache: Optional[DecodeCache] = None):
         self.sampler = sampler
         self.input_shape = tuple(input_shape)
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.n_batches = n_batches
+        self._cache = cache
         # PERFORMANCE.fast_decode: DCT-prescaled JPEG decode in the native
         # loader (~1.5x on >= 2:1 downscales, approximate — see
         # native_loader.decode_batch); forces the native backend.
@@ -63,6 +95,27 @@ class BatchLoader:
 
     def _decode_many(self, pool: ThreadPoolExecutor,
                      paths: Sequence[str]) -> np.ndarray:
+        h, w = self.input_shape[0], self.input_shape[1]
+        if self._cache is None:
+            return self._decode_uncached(pool, paths)
+
+        out = np.zeros((len(paths), h, w, 3), np.uint8)
+        miss_idx = []
+        for i, im in enumerate(self._cache.get_many(paths)):
+            if im is not None:
+                out[i] = im
+            else:
+                miss_idx.append(i)
+        if miss_idx:
+            decoded = self._decode_uncached(
+                pool, [paths[i] for i in miss_idx])
+            for j, i in enumerate(miss_idx):
+                out[i] = decoded[j]
+                self._cache.put(paths[i], decoded[j])
+        return out
+
+    def _decode_uncached(self, pool: ThreadPoolExecutor,
+                         paths: Sequence[str]) -> np.ndarray:
         h, w = self.input_shape[0], self.input_shape[1]
         if self.backend == "native":
             # GIL-free C++ decode+resize straight into the batch buffer

@@ -45,6 +45,9 @@ class Trainer:
             # sanitizer mode: fail fast on NaNs inside jitted steps
             jax.config.update("jax_debug_nans", True)
         self.mesh = self._build_mesh()
+        cache_mb = params.performance.decode_cache_mb
+        from embeddingnet_tpu.data.pipeline import DecodeCache
+        self._decode_cache = DecodeCache(cache_mb) if cache_mb > 0 else None
         self.augment_fn = self._build_augment()
         self._build_module()
         if params.performance.params_dtype == "bfloat16":
@@ -294,7 +297,14 @@ class Trainer:
 
     def _train_loader(self):
         g = self.params.generator
-        seed = self.params.general.seed
+        # Epoch-dependent seed: a fresh sampler is built per epoch, and
+        # with a fixed seed every epoch would replay the SAME random batch
+        # sequence (the reference reshuffles per epoch,
+        # datagenerators.py:121-127). Offsetting by the epoch keeps runs
+        # reproducible AND epochs distinct; resume picks up the right
+        # sequence because the offset is the epoch number, not a counter.
+        seed = (self.params.general.seed
+                + 9973 * getattr(self, "_current_epoch", 0))
         if self.mode == "siamese":
             sampler = PairSampler(self.data_loader.train_data,
                                   self.data_loader.class_names,
@@ -310,7 +320,8 @@ class Trainer:
                                 k_samples=g.k_samples, seed=seed)
         return BatchLoader(sampler, self.params.model.input_shape,
                            n_batches=g.n_batches,
-                           fast_decode=self.params.performance.fast_decode)
+                           fast_decode=self.params.performance.fast_decode,
+                           cache=self._decode_cache)
 
     def _val_loader(self):
         if self.mode == "arcface":
@@ -330,7 +341,8 @@ class Trainer:
                                      self.data_loader.class_names,
                                      batch_size=g.batch_size, seed=seed)
         return BatchLoader(sampler, self.params.model.input_shape,
-                           n_batches=g.n_batches_val)
+                           n_batches=g.n_batches_val,
+                           cache=self._decode_cache)
 
     # -- resume ------------------------------------------------------------
 
@@ -505,6 +517,7 @@ class Trainer:
         n_epochs = n_epochs or self.params.train.n_epochs
         profile_dir = _os.environ.get("EMBEDDINGNET_PROFILE")
         for epoch in range(self.start_epoch, n_epochs):
+            self._current_epoch = epoch   # epoch-distinct sampler seeds
             if profile_dir and epoch == self.start_epoch:
                 # jax.profiler trace of the first epoch -> TensorBoard /
                 # Perfetto (SURVEY.md §5 tracing subsystem)

@@ -222,3 +222,75 @@ def test_csv_with_separate_val_csv(tiny_dataset, tmp_path):
     assert all(len(v) == 2 for v in dl.val_data.values())
     # train data NOT split when a val CSV is given
     assert dl.train_data == dl.class_files_paths
+
+
+def test_decode_cache_hits_and_budget(tmp_path):
+    """DecodeCache: second pass serves identical pixels from RAM; the
+    byte budget stops inserts without evicting."""
+    import cv2
+    from embeddingnet_tpu.data.pipeline import BatchLoader, DecodeCache
+
+    paths = []
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        p = str(tmp_path / f"im{i}.png")
+        cv2.imwrite(p, rng.integers(0, 255, (20, 20, 3)).astype(np.uint8))
+        paths.append(p)
+
+    class OneBatch:
+        def __iter__(self):
+            yield paths, np.arange(len(paths), dtype=np.int32)
+
+    cache = DecodeCache(budget_mb=1)
+    loader = BatchLoader(OneBatch(), (16, 16, 3), n_batches=1,
+                         backend="python", cache=cache)
+    (first, _), = list(loader)
+    assert len(cache._data) == 6          # all cached (6 * 768 B << 1 MB)
+    # a second epoch-style loader sharing the cache returns identical pixels
+    loader2 = BatchLoader(OneBatch(), (16, 16, 3), n_batches=1,
+                          backend="python", cache=cache)
+    (second, _), = list(loader2)
+    np.testing.assert_array_equal(first, second)
+
+    tiny = DecodeCache(budget_mb=0)       # zero budget: nothing inserts
+    loader3 = BatchLoader(OneBatch(), (16, 16, 3), n_batches=1,
+                          backend="python", cache=tiny)
+    (third, _), = list(loader3)
+    assert len(tiny._data) == 0
+    np.testing.assert_array_equal(first, third)
+
+
+def test_train_sampler_epochs_differ(tmp_path, tiny_dataset):
+    """Each epoch must draw a DIFFERENT random batch sequence (the
+    reference reshuffles per epoch, datagenerators.py:121-127): with a
+    fixed per-epoch seed the old code replayed epoch 0 forever."""
+    from embeddingnet_tpu.config import params_from_dict
+    from embeddingnet_tpu.data import ENDataLoader
+    from embeddingnet_tpu.train import Trainer
+
+    params = params_from_dict({
+        "MODEL": {"input_shape": [32, 32, 3], "encodings_len": 8,
+                  "mode": "triplet", "backbone_name": "simple2",
+                  "backbone_weights": None},
+        "DATALOADER": {"dataset_path": tiny_dataset, "validate": False},
+        "GENERATOR": {"negatives_selection_mode": "batch_all",
+                      "k_classes": 3, "k_samples": 2, "n_batches": 2},
+        "TRAIN": {"optimizer": "adam", "n_epochs": 2,
+                  "plot_history": False},
+        "GENERAL": {"project_name": "p", "work_dir": str(tmp_path / "wd")},
+        "PERFORMANCE": {"compute_dtype": "float32"},
+    })
+    loader = ENDataLoader(tiny_dataset, validate=False)
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+
+    def epoch_paths(epoch):
+        trainer._current_epoch = epoch
+        sampler_batches = []
+        it = iter(trainer._train_loader().sampler)
+        for _ in range(2):
+            paths, _labels = next(it)
+            sampler_batches.append(tuple(paths))
+        return sampler_batches
+
+    assert epoch_paths(0) != epoch_paths(1)
+    assert epoch_paths(0) == epoch_paths(0)  # still reproducible
