@@ -66,8 +66,12 @@ def make_batch(batch, img):
 def build_model(jnp, dtype):
     import jax
     from embeddingnet_tpu.models import EmbeddingModule
+    # BENCH_PALLAS_CONV=1 -> PERFORMANCE.pallas_conv (the Pallas
+    # small-spatial 3x3 conv path, ops/fused_conv.py) for A/B runs
+    fast_conv = os.environ.get("BENCH_PALLAS_CONV") == "1"
     module = EmbeddingModule(backbone_name="resnet50", encodings_len=256,
-                             embeddings_normalization=True, dtype=dtype)
+                             embeddings_normalization=True, dtype=dtype,
+                             fast_conv=fast_conv)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((2, IMG, IMG, 3), jnp.float32)
     variables = module.init({"params": rng}, dummy, train=False)

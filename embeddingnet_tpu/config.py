@@ -281,6 +281,14 @@ class PerformanceConfig(_SectionBase):
     # measurement (docs/MINING.md "Pallas: win or cut"); accepted for
     # config compatibility, warned-and-ignored.
     use_pallas_mining: bool = False
+    # Pallas small-spatial 3x3 conv path for ResNet-family backbones
+    # (ops/fused_conv.py): replaces XLA's conv on the 2x2/4x4/8x8
+    # stride-1 stage convs with shifted-tap MXU matmul kernels
+    # (fwd + dgrad + wgrad). Numerics match to bf16 rounding; parameter
+    # trees are unchanged. Single-device path only — the Trainer
+    # ignores it (with a warning) on a >1-device mesh, where GSPMD
+    # cannot partition the custom kernels.
+    pallas_conv: bool = False
     # Sanitizer mode (SURVEY.md §5 race-detection analog): raise on any
     # NaN produced inside jitted computations.
     debug_nans: bool = False

@@ -60,8 +60,13 @@ def list_backbones():
 
 def _build_backbone(name: str, encodings_len: int,
                     embeddings_normalization: bool, dtype,
-                    bn_momentum: float = 0.99):
-    """Backbone module + whether it has an integrated embedding head."""
+                    bn_momentum: float = 0.99, fast_conv: bool = False):
+    """Backbone module + whether it has an integrated embedding head.
+
+    ``fast_conv`` enables the Pallas small-spatial 3x3 conv path
+    (``PERFORMANCE.pallas_conv``) on the backbones that have one;
+    other families silently ignore it (their convs are grouped,
+    depthwise, or non-3x3 — ineligible by construction)."""
     if name == "simple":
         return SimpleCNN(encodings_len, embeddings_normalization,
                          dtype=dtype), True
@@ -69,7 +74,9 @@ def _build_backbone(name: str, encodings_len: int,
         return SimpleCNN2(encodings_len, embeddings_normalization,
                           bn_momentum=bn_momentum, dtype=dtype), True
     if name in _RESNETS:
-        return _RESNETS[name](bn_momentum=bn_momentum, dtype=dtype), False
+        kw = {} if name == "senet154" else {"fast_conv": fast_conv}
+        return _RESNETS[name](bn_momentum=bn_momentum, dtype=dtype,
+                              **kw), False
     if name in _efn.SCALINGS:
         return _efn.build_efficientnet(name, bn_momentum=bn_momentum,
                                        dtype=dtype), False
@@ -122,13 +129,14 @@ class EmbeddingModule(nn.Module):
     encodings_len: int = 256
     embeddings_normalization: bool = True
     bn_momentum: float = 0.99
+    fast_conv: bool = False  # PERFORMANCE.pallas_conv
     dtype: Optional[Dtype] = None
 
     def setup(self):
         self.backbone, integrated = _build_backbone(
             self.backbone_name, self.encodings_len,
             self.embeddings_normalization, self.dtype,
-            bn_momentum=self.bn_momentum)
+            bn_momentum=self.bn_momentum, fast_conv=self.fast_conv)
         self.head = None if integrated else EmbeddingHead(
             self.encodings_len, self.embeddings_normalization,
             dtype=self.dtype)
@@ -171,6 +179,7 @@ class SiameseModule(nn.Module):
     encodings_len: int = 256
     embeddings_normalization: bool = True
     distance_type: str = "l1"
+    fast_conv: bool = False
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -178,7 +187,7 @@ class SiameseModule(nn.Module):
             backbone_name=self.backbone_name,
             encodings_len=self.encodings_len,
             embeddings_normalization=self.embeddings_normalization,
-            dtype=self.dtype)
+            fast_conv=self.fast_conv, dtype=self.dtype)
         if self.distance_type == "l1":
             self.distance_head = SiameseL1Head(dtype=self.dtype)
 
@@ -241,6 +250,7 @@ class ArcFaceModule(nn.Module):
     encodings_len: int = 512
     n_classes: int = 1000
     embeddings_normalization: bool = False
+    fast_conv: bool = False
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -248,7 +258,7 @@ class ArcFaceModule(nn.Module):
             backbone_name=self.backbone_name,
             encodings_len=self.encodings_len,
             embeddings_normalization=self.embeddings_normalization,
-            dtype=self.dtype)
+            fast_conv=self.fast_conv, dtype=self.dtype)
         self.class_weights = self.param(
             "class_weights", nn.initializers.normal(0.01),
             (self.n_classes, self.encodings_len))

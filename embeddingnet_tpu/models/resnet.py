@@ -22,9 +22,26 @@ from typing import Any, Callable, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from embeddingnet_tpu.ops.fused_conv import FastConv3x3
+
 Dtype = Any
 
 he_normal = nn.initializers.he_normal
+
+
+def _conv3x3(filters, strides, groups, use_bias, dtype, fast, name):
+    """3x3 conv factory: the Pallas small-spatial path
+    (``PERFORMANCE.pallas_conv``) when enabled and bias-free, else
+    ``nn.Conv``. Both have the identical ``kernel`` param, so the flag
+    never changes checkpoints or weight ports; FastConv3x3 itself falls
+    back to ``lax`` for ineligible static shapes (stride 2, big maps)."""
+    if fast and not use_bias:
+        return FastConv3x3(filters, strides=tuple(strides),
+                           feature_group_count=groups,
+                           kernel_init=he_normal(), dtype=dtype, name=name)
+    return nn.Conv(filters, (3, 3), strides, padding=((1, 1), (1, 1)),
+                   use_bias=use_bias, feature_group_count=groups,
+                   kernel_init=he_normal(), dtype=dtype, name=name)
 
 
 class SEModule(nn.Module):
@@ -53,6 +70,7 @@ class BasicBlock(nn.Module):
     norm: Callable = nn.BatchNorm
     use_bias: bool = False
     use_se: bool = False
+    fast_conv: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -61,16 +79,12 @@ class BasicBlock(nn.Module):
         # explicit symmetric (1,1) padding: equals SAME at stride 1 and
         # matches torch's conv semantics at stride 2 (TF-SAME pads
         # asymmetrically there)
-        y = nn.Conv(self.filters, (3, 3), self.strides,
-                    padding=((1, 1), (1, 1)),
-                    use_bias=self.use_bias, kernel_init=he_normal(),
-                    dtype=self.dtype, name="conv1")(x)
+        y = _conv3x3(self.filters, self.strides, 1, self.use_bias,
+                     self.dtype, self.fast_conv, "conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=self.use_bias,
-                    kernel_init=he_normal(), dtype=self.dtype,
-                    name="conv2")(y)
+        y = _conv3x3(self.filters, (1, 1), 1, self.use_bias,
+                     self.dtype, self.fast_conv, "conv2")(y)
         y = self.norm(name="bn2")(y)
         if self.use_se:
             y = SEModule(self.filters, dtype=self.dtype, name="se")(y)
@@ -93,6 +107,7 @@ class BottleneckBlock(nn.Module):
     use_se: bool = False
     groups: int = 1      # >1 = ResNeXt grouped 3x3
     expansion: int = 4   # out_channels = filters * expansion (ResNeXt: 2)
+    fast_conv: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -105,11 +120,8 @@ class BottleneckBlock(nn.Module):
                     name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), s3, padding=((1, 1), (1, 1)),
-                    use_bias=self.use_bias,
-                    feature_group_count=self.groups,
-                    kernel_init=he_normal(), dtype=self.dtype,
-                    name="conv2")(y)
+        y = _conv3x3(self.filters, s3, self.groups, self.use_bias,
+                     self.dtype, self.fast_conv, "conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters * self.expansion, (1, 1),
@@ -142,6 +154,7 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     bn_epsilon: float = 1.001e-5  # keras.applications resnet epsilon
     bn_momentum: float = 0.99
+    fast_conv: bool = False  # PERFORMANCE.pallas_conv small-spatial path
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -170,6 +183,7 @@ class ResNet(nn.Module):
                 kwargs = dict(filters=filters,
                               strides=strides, norm=norm, dtype=self.dtype,
                               use_bias=self.use_bias, use_se=self.use_se,
+                              fast_conv=self.fast_conv,
                               name=f"stage{i + 1}_block{j + 1}")
                 if self.block_cls is BottleneckBlock:
                     kwargs["stride_in_3x3"] = self.stride_in_3x3

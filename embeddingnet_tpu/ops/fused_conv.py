@@ -1,0 +1,268 @@
+"""Pallas small-spatial 3x3 conv for the ResNet stage bottlenecks.
+
+Production follow-up to the r3 go/no-go experiment
+(``tools/pallas_fused_conv.py``, docs/BENCHMARKS.md "the stage-4
+experiment"): XLA's ``lax.conv_general_dilated`` runs the late-stage
+3x3 convs of the headline ResNet-50 @64px at ~8 TFLOP/s (2x2 and 4x4
+spatial), while the same contraction expressed as 9 shifted-tap
+[B*S*S, Cin] @ [Cin, Cout] MXU matmuls reaches ~10+ TFLOP/s — the win
+is a better conv *algorithm* for tiny spatial sizes, not memory fusion.
+
+This module generalizes the prototype into a differentiable drop-in:
+
+* :func:`conv3x3_small` — custom-VJP conv, stride 1, SAME (pad 1).
+  Forward and input-gradient share one Pallas kernel (dgrad of a
+  stride-1 SAME 3x3 conv *is* a stride-1 SAME 3x3 conv with spatially
+  flipped, in/out-transposed weights); the weight gradient is a second
+  kernel accumulating 9 ``[Cin, B*S*S] @ [B*S*S, Cout]`` matmuls across
+  sequential grid steps (TPU grids are sequential, so revisiting the
+  output block accumulates correctly).
+* :class:`FastConv3x3` — ``nn.Conv``-compatible Flax module (same
+  ``kernel`` param name/shape/init, no bias) that dispatches to the
+  Pallas path when the static shape is eligible and falls back to
+  ``lax.conv_general_dilated`` otherwise, so checkpoints and weight
+  ports are interchangeable with ``nn.Conv``.
+
+Reference parity note: the reference has no counterpart (its convs are
+cuDNN via Keras); this is a TPU-only performance path gated by
+``PERFORMANCE.pallas_conv`` and off by default. Numerics match the XLA
+conv to bf16 rounding (both accumulate in f32 on the MXU) — oracle
+tests in ``tests/test_fused_conv.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Dtype = Any
+
+# Batch-tile cap per spatial size: keeps the [S*S*BT, C] accumulator,
+# the per-tap concat operands, and Mosaic's double-buffering within the
+# 16 MB/core scoped-VMEM limit. 2048 rows at C=256 measured 20.9 MB of
+# stack (> the 16 MB limit) on v5e; 1024 rows fits.
+_MAX_ROWS = 1024
+
+
+def _batch_tile(batch: int, s: int) -> Optional[int]:
+    """Largest power-of-two batch tile <= 128 dividing ``batch`` whose
+    [S*S*BT, C] operand stays inside the VMEM row budget."""
+    bt = min(128, _MAX_ROWS // (s * s))
+    while bt >= 8:
+        if batch % bt == 0:
+            return bt
+        bt //= 2
+    return None
+
+
+def eligible(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
+             strides: Tuple[int, int] = (1, 1), groups: int = 1) -> bool:
+    """Static-shape gate for the Pallas path.
+
+    Eligible = stride-1 SAME 3x3, ungrouped, square spatial S in {2, 4}
+    (measured on v5e, tools/pallas_conv_bench.py: 1.3-1.5x there; at
+    8x8 the Pallas backward win cancels against an XLA forward loss,
+    and larger maps keep enough rows per position for XLA's implicit
+    GEMM), lane-aligned channels, and a batch divisible by a
+    power-of-two tile. Everything else falls back to
+    ``lax.conv_general_dilated``.
+    """
+    if tuple(strides) != (1, 1) or groups != 1:
+        return False
+    if len(x_shape) != 4 or w_shape[:2] != (3, 3):
+        return False
+    b, h, w, cin = x_shape
+    if h != w or h not in (2, 4):
+        return False
+    if cin != w_shape[2]:
+        return False
+    cout = w_shape[3]
+    if cin % 128 != 0 or cout % 128 != 0:
+        return False
+    return _batch_tile(b, h) is not None
+
+
+def _fwd_kernel(s: int, bt: int, x_ref, w_ref, o_ref):
+    """relu-free conv body: o = sum_taps shift(x) @ w[tap].
+
+    ``x_ref``: [BT, S+2, S+2, Cin] zero-padded; ``w_ref``: [3, 3, Cin,
+    Cout]; ``o_ref``: [BT, S, S, Cout]. Each tap's operand stacks the
+    S*S output positions position-major into [S*S*BT, Cin] so every
+    matmul feeds the MXU S*S*BT rows (the position-at-a-time variant
+    measured 15% slower in the prototype).
+    """
+    cin = x_ref.shape[-1]
+    cout = o_ref.shape[-1]
+    acc = jnp.zeros((s * s * bt, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            a = jnp.concatenate(
+                [x_ref[:, oy + dy, ox + dx, :]
+                 for oy in range(s) for ox in range(s)], axis=0)
+            acc = acc + jnp.dot(a, w_ref[dy, dx, :, :],
+                                preferred_element_type=jnp.float32)
+    out = acc.astype(o_ref.dtype)
+    for i, (oy, ox) in enumerate([(y, x) for y in range(s)
+                                  for x in range(s)]):
+        o_ref[:, oy, ox, :] = out[i * bt:(i + 1) * bt, :]
+
+
+def _wgrad_kernel(s: int, bt: int, x_ref, g_ref, o_ref):
+    """dW[t] += x_pad[shift t]^T @ g, accumulated across grid steps.
+
+    ``x_ref``: [BT, S+2, S+2, Cin] zero-padded; ``g_ref``: [BT, S, S,
+    Cout]; ``o_ref``: [3, 3, Cin, Cout] f32, revisited by every grid
+    step (constant index_map) — TPU grids run sequentially, so the
+    read-modify-write accumulation is race-free.
+    """
+    i = pl.program_id(0)
+    g = jnp.concatenate(
+        [g_ref[:, oy, ox, :] for oy in range(s) for ox in range(s)],
+        axis=0)                                        # [S*S*BT, Cout]
+    for dy in range(3):
+        for dx in range(3):
+            a = jnp.concatenate(
+                [x_ref[:, oy + dy, ox + dx, :]
+                 for oy in range(s) for ox in range(s)], axis=0)
+            # [Cin, S*S*BT] @ [S*S*BT, Cout] with the contraction over
+            # the stacked rows
+            dw = lax.dot_general(
+                a, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [Cin, Cout]
+            @pl.when(i == 0)
+            def _init():
+                o_ref[dy, dx, :, :] = dw
+
+            @pl.when(i > 0)
+            def _acc():
+                o_ref[dy, dx, :, :] = o_ref[dy, dx, :, :] + dw
+
+
+def _interpret() -> bool:
+    # Pallas TPU kernels run in interpret mode off-TPU (CPU tests and
+    # the forced-CPU virtual meshes); the dispatcher is static per
+    # trace, which is keyed on the backend.
+    return jax.default_backend() != "tpu"
+
+
+def _conv_fwd_impl(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    b, s = x.shape[0], x.shape[1]
+    cin, cout = w.shape[2], w.shape[3]
+    bt = _batch_tile(b, s)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, s, bt),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s + 2, s + 2, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, s, s, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, s, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * s * 9 * cin * cout,
+            bytes_accessed=(x.size + w.size) * x.dtype.itemsize
+            + b * s * s * cout * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(xp, w)
+
+
+def _wgrad_impl(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    b, s, cin, cout = x.shape[0], x.shape[1], x.shape[3], g.shape[3]
+    bt = _batch_tile(b, s)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(_wgrad_kernel, s, bt),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s + 2, s + 2, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, s, s, cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * s * 9 * cin * cout,
+            bytes_accessed=(x.size + g.size) * x.dtype.itemsize
+            + 9 * cin * cout * 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(xp, g)
+
+
+@jax.custom_vjp
+def conv3x3_small(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 SAME 3x3 conv on a small square feature map (Pallas).
+
+    ``x``: [B, S, S, Cin]; ``w``: [3, 3, Cin, Cout] — the gate
+    :func:`eligible` must hold. Output [B, S, S, Cout] in ``x.dtype``,
+    f32-accumulated like XLA's conv on the MXU.
+    """
+    return _conv_fwd_impl(x, w)
+
+
+def _conv_vjp_fwd(x, w):
+    return _conv_fwd_impl(x, w), (x, w)
+
+
+def _conv_vjp_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    # dgrad: stride-1 SAME 3x3 conv of g with spatially flipped,
+    # in/out-swapped weights — the same Pallas kernel.
+    w_flip = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    dx = _conv_fwd_impl(g, w_flip.astype(w.dtype))
+    dw = _wgrad_impl(x, g).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3_small.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
+
+
+class FastConv3x3(nn.Module):
+    """``nn.Conv``-compatible 3x3 conv that uses the Pallas path when
+    the static shape is :func:`eligible`, else ``lax`` — same ``kernel``
+    param name, shape, and init as ``nn.Conv(features, (3, 3),
+    padding=((1, 1), (1, 1)), use_bias=False)``, so parameter trees are
+    interchangeable (checkpoints, weight ports, freeze masks)."""
+
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    feature_group_count: int = 1
+    kernel_init: Any = nn.initializers.he_normal()
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (3, 3, cin // self.feature_group_count, self.features),
+            self.param_dtype)
+        # nn.Conv semantics: dtype=None promotes to the common type of
+        # input and (f32) params, an explicit dtype casts both to it.
+        dtype = self.dtype or jnp.result_type(x, kernel)
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        if eligible(x.shape, kernel.shape, self.strides,
+                    self.feature_group_count):
+            return conv3x3_small(x, kernel)
+        return lax.conv_general_dilated(
+            x, kernel, window_strides=tuple(self.strides),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count)

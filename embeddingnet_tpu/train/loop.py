@@ -123,12 +123,21 @@ class Trainer:
         m = self.params.model
         rng = jax.random.PRNGKey(self.params.general.seed)
         dummy = jnp.zeros((2,) + tuple(m.input_shape), jnp.float32)
+        fast_conv = self.params.performance.pallas_conv
+        if fast_conv and self.mesh is not None:
+            # GSPMD cannot partition the custom kernels; a sharded train
+            # step would gather the full batch onto every device.
+            self.log("PERFORMANCE.pallas_conv ignored on a >1-device "
+                     "mesh (single-device path only)")
+            fast_conv = False
+        self._fast_conv = fast_conv
         if self.mode == "siamese":
             self.module = SiameseModule(
                 backbone_name=m.backbone_name,
                 encodings_len=m.encodings_len,
                 embeddings_normalization=m.embeddings_normalization,
-                distance_type=m.distance_type, dtype=self.compute_dtype)
+                distance_type=m.distance_type, fast_conv=fast_conv,
+                dtype=self.compute_dtype)
             self.variables = self.module.init(
                 {"params": rng, "dropout": rng}, (dummy, dummy), train=False)
             # the encoder view used for encodings export / eval
@@ -137,13 +146,13 @@ class Trainer:
                 encodings_len=m.encodings_len,
                 embeddings_normalization=m.embeddings_normalization,
                 bn_momentum=self.params.performance.bn_momentum,
-                dtype=self.compute_dtype)
+                fast_conv=fast_conv, dtype=self.compute_dtype)
         elif self.mode == "arcface":
             self.module = ArcFaceModule(
                 backbone_name=m.backbone_name,
                 encodings_len=m.encodings_len,
                 n_classes=self.data_loader.n_classes,
-                embeddings_normalization=False,
+                embeddings_normalization=False, fast_conv=fast_conv,
                 dtype=self.compute_dtype)
             self.variables = self.module.init(
                 {"params": rng, "dropout": rng}, dummy, train=False)
@@ -157,14 +166,14 @@ class Trainer:
                 encodings_len=m.encodings_len,
                 embeddings_normalization=True,
                 bn_momentum=self.params.performance.bn_momentum,
-                dtype=self.compute_dtype)
+                fast_conv=fast_conv, dtype=self.compute_dtype)
         else:
             self.module = EmbeddingModule(
                 backbone_name=m.backbone_name,
                 encodings_len=m.encodings_len,
                 embeddings_normalization=m.embeddings_normalization,
                 bn_momentum=self.params.performance.bn_momentum,
-                dtype=self.compute_dtype)
+                fast_conv=fast_conv, dtype=self.compute_dtype)
             self.variables = self.module.init(
                 {"params": rng, "dropout": rng}, dummy, train=False,
                 method="init_all")

@@ -1,0 +1,144 @@
+"""Oracle tests for ops/fused_conv.py — the Pallas small-spatial 3x3
+conv must match ``lax.conv_general_dilated`` (the XLA path it replaces)
+in forward and both gradients. Runs in Pallas interpret mode on the CPU
+test mesh; the real-TPU timings live in tools/pallas_conv_bench.py and
+docs/BENCHMARKS.md."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from embeddingnet_tpu.ops import fused_conv as fc
+
+
+def _lax_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("b,s,cin,cout", [
+    (16, 2, 128, 128),
+    (8, 4, 128, 256),
+    (8, 8, 256, 128),   # kernel supports S=8; dispatch excludes it
+])
+def test_forward_matches_lax(b, s, cin, cout):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, s, s, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05, jnp.float32)
+    assert fc.eligible(x.shape, w.shape) == (s in (2, 4))
+    got = fc.conv3x3_small(x, w)
+    want = _lax_conv(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_forward_bf16():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(16, 2, 2, 128)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 128)) * 0.05, jnp.bfloat16)
+    got = np.asarray(fc.conv3x3_small(x, w), np.float32)
+    want = np.asarray(_lax_conv(x, w), np.float32)
+    # both f32-accumulate; bf16 storage rounding only
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gradients_match_lax():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 128)) * 0.05, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(8, 4, 4, 128)), jnp.float32)
+
+    def loss_pallas(x, w):
+        return jnp.sum(fc.conv3x3_small(x, w) * cot)
+
+    def loss_lax(x, w):
+        return jnp.sum(_lax_conv(x, w) * cot)
+
+    dx_p, dw_p = jax.grad(loss_pallas, argnums=(0, 1))(x, w)
+    dx_l, dw_l = jax.grad(loss_lax, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_l),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_l),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_eligibility_gate():
+    w = (3, 3, 128, 128)
+    assert fc.eligible((16, 4, 4, 128), w)
+    assert not fc.eligible((16, 4, 4, 128), w, strides=(2, 2))
+    assert not fc.eligible((16, 4, 4, 128), w, groups=32)
+    assert not fc.eligible((16, 6, 6, 128), (3, 3, 128, 128))   # S not 2/4
+    assert not fc.eligible((16, 8, 8, 128), w)   # 8x8: measured a wash
+    assert not fc.eligible((16, 16, 16, 128), w)                # too big
+    assert not fc.eligible((16, 4, 4, 64), (3, 3, 64, 64))      # lanes
+    assert not fc.eligible((7, 4, 4, 128), w)                   # batch tile
+    assert not fc.eligible((16, 4, 4, 128), (1, 1, 128, 128))   # not 3x3
+
+
+def test_resnet50_fast_conv_parity():
+    """The PERFORMANCE.pallas_conv flag must not change ResNet-50's
+    function: identical params (the trees are interchangeable by
+    construction), same embeddings, at the headline 64px geometry where
+    stages 2-4 (8x8/4x4/2x2) take the Pallas path."""
+    from embeddingnet_tpu.models.registry import EmbeddingModule
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(size=(8, 64, 64, 3)), jnp.float32)
+    slow = EmbeddingModule(backbone_name="resnet50", encodings_len=32)
+    fast = EmbeddingModule(backbone_name="resnet50", encodings_len=32,
+                           fast_conv=True)
+    variables = slow.init({"params": jax.random.PRNGKey(0)}, x,
+                          train=False, method="init_all")
+    want = np.asarray(slow.apply(variables, x, train=False))
+    got = np.asarray(fast.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_trainer_ignores_pallas_conv_on_mesh(tiny_dataset, tmp_path):
+    """On a >1-device mesh the Trainer must fall back (GSPMD cannot
+    partition the custom kernels) and say so."""
+    from embeddingnet_tpu.config import params_from_dict
+    from embeddingnet_tpu.data import ENDataLoader
+    from embeddingnet_tpu.train import Trainer
+
+    params = params_from_dict({
+        "MODEL": {"input_shape": [32, 32, 3], "encodings_len": 8,
+                  "mode": "triplet", "backbone_name": "simple2",
+                  "backbone_weights": None},
+        "DATALOADER": {"dataset_path": tiny_dataset, "validate": False},
+        "GENERATOR": {"negatives_selection_mode": "batch_all",
+                      "k_classes": 4, "k_samples": 2, "n_batches": 1},
+        "TRAIN": {"optimizer": "adam", "n_epochs": 1,
+                  "plot_history": False},
+        "GENERAL": {"project_name": "p", "work_dir": str(tmp_path)},
+        "MESH": {"data": 2},
+        "PERFORMANCE": {"compute_dtype": "float32", "pallas_conv": True},
+    })
+    logs = []
+    loader = ENDataLoader(tiny_dataset, validate=False)
+    trainer = Trainer(params, loader, log_fn=logs.append)
+    assert trainer._fast_conv is False
+    assert any("pallas_conv ignored" in str(m) for m in logs)
+
+
+def test_fastconv_module_param_compat():
+    """FastConv3x3's param tree is interchangeable with nn.Conv's, and
+    its output matches nn.Conv under the same kernel — on both the
+    Pallas-eligible and the fallback shapes."""
+    import flax.linen as nn
+    rng = np.random.default_rng(3)
+
+    for shape in [(16, 2, 2, 128), (4, 7, 7, 32)]:  # eligible / fallback
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        fast = fc.FastConv3x3(features=128)
+        ref = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False)
+        vars_ref = ref.init(jax.random.PRNGKey(0), x)
+        assert (vars_ref["params"]["kernel"].shape
+                == (3, 3, shape[-1], 128))
+        got = fast.apply(vars_ref, x)       # nn.Conv params drop in
+        want = ref.apply(vars_ref, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
