@@ -17,6 +17,8 @@ This module generalizes the prototype into a differentiable drop-in:
   kernel accumulating 9 ``[Cin, B*S*S] @ [B*S*S, Cout]`` matmuls across
   sequential grid steps (TPU grids are sequential, so revisiting the
   output block accumulates correctly).
+* :func:`conv3x3_small_mixed` — XLA forward + Pallas backward, for the
+  8x8 maps where the per-direction winners split.
 * :class:`FastConv3x3` — ``nn.Conv``-compatible Flax module (same
   ``kernel`` param name/shape/init, no bias) that dispatches to the
   Pallas path when the static shape is eligible and falls back to
@@ -62,24 +64,15 @@ def _batch_tile(batch: int, s: int) -> Optional[int]:
     return None
 
 
-def eligible(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
-             strides: Tuple[int, int] = (1, 1), groups: int = 1) -> bool:
-    """Static-shape gate for the Pallas path.
-
-    Eligible = stride-1 SAME 3x3, ungrouped, square spatial S in {2, 4}
-    (measured on v5e, tools/pallas_conv_bench.py: 1.3-1.5x there; at
-    8x8 the Pallas backward win cancels against an XLA forward loss,
-    and larger maps keep enough rows per position for XLA's implicit
-    GEMM), lane-aligned channels, and a batch divisible by a
-    power-of-two tile. Everything else falls back to
-    ``lax.conv_general_dilated``.
-    """
+def _gate(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
+          strides: Tuple[int, int], groups: int,
+          spatial: Tuple[int, ...]) -> bool:
     if tuple(strides) != (1, 1) or groups != 1:
         return False
     if len(x_shape) != 4 or w_shape[:2] != (3, 3):
         return False
     b, h, w, cin = x_shape
-    if h != w or h not in (2, 4):
+    if h != w or h not in spatial:
         return False
     if cin != w_shape[2]:
         return False
@@ -87,6 +80,35 @@ def eligible(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
     if cin % 128 != 0 or cout % 128 != 0:
         return False
     return _batch_tile(b, h) is not None
+
+
+def eligible(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
+             strides: Tuple[int, int] = (1, 1), groups: int = 1) -> bool:
+    """Static-shape gate for the full (fwd + bwd) Pallas path.
+
+    Eligible = stride-1 SAME 3x3, ungrouped, square spatial S in {2, 4}
+    (measured on v5e, tools/pallas_conv_bench.py: 1.3-1.5x there; at
+    8x8 the Pallas forward loses to XLA — see :func:`eligible_mixed` —
+    and larger maps keep enough rows per position for XLA's implicit
+    GEMM), lane-aligned channels, and a batch divisible by a
+    power-of-two tile. Everything else falls back to
+    ``lax.conv_general_dilated``.
+    """
+    return _gate(x_shape, w_shape, strides, groups, (2, 4))
+
+
+def eligible_mixed(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
+                   strides: Tuple[int, int] = (1, 1),
+                   groups: int = 1) -> bool:
+    """Gate for the mixed path: XLA forward + Pallas backward.
+
+    At 8x8 the per-op measurements split: XLA wins the forward (more
+    rows per position feed its implicit GEMM) while the Pallas
+    dgrad+wgrad pair won ~1.5x in isolation (the bwd program has twice
+    the contraction work and XLA schedules it poorly at this size). The
+    mixed path keeps XLA's forward and swaps in the Pallas gradients —
+    same constraints as :func:`eligible` otherwise."""
+    return _gate(x_shape, w_shape, strides, groups, (8,))
 
 
 def _fwd_kernel(s: int, bt: int, x_ref, w_ref, o_ref):
@@ -232,6 +254,30 @@ def _conv_vjp_bwd(res, g):
 conv3x3_small.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
 
 
+def _lax_conv3x3(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def conv3x3_small_mixed(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 SAME 3x3 conv: XLA forward, Pallas backward.
+
+    For the shapes where :func:`eligible_mixed` holds (8x8 spatial) —
+    the forward runs XLA's conv (faster there), the backward runs the
+    Pallas dgrad/wgrad kernels (faster there). Same value and gradient
+    semantics as either pure path."""
+    return _lax_conv3x3(x, w)
+
+
+def _mixed_vjp_fwd(x, w):
+    return _lax_conv3x3(x, w), (x, w)
+
+
+conv3x3_small_mixed.defvjp(_mixed_vjp_fwd, _conv_vjp_bwd)
+
+
 class FastConv3x3(nn.Module):
     """``nn.Conv``-compatible 3x3 conv that uses the Pallas path when
     the static shape is :func:`eligible`, else ``lax`` — same ``kernel``
@@ -261,6 +307,9 @@ class FastConv3x3(nn.Module):
         if eligible(x.shape, kernel.shape, self.strides,
                     self.feature_group_count):
             return conv3x3_small(x, kernel)
+        if eligible_mixed(x.shape, kernel.shape, self.strides,
+                          self.feature_group_count):
+            return conv3x3_small_mixed(x, kernel)
         return lax.conv_general_dilated(
             x, kernel, window_strides=tuple(self.strides),
             padding=((1, 1), (1, 1)),

@@ -64,6 +64,42 @@ def test_gradients_match_lax():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_mixed_gradients_match_lax():
+    """8x8 takes the mixed path: XLA forward, Pallas backward — the
+    values AND both gradients must match the pure-lax conv."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(16, 8, 8, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 128)) * 0.05, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(16, 8, 8, 128)), jnp.float32)
+    assert fc.eligible_mixed(x.shape, w.shape)
+
+    got = fc.conv3x3_small_mixed(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_lax_conv(x, w)),
+                               rtol=1e-5, atol=1e-5)  # fwd IS lax
+
+    def loss_mixed(x, w):
+        return jnp.sum(fc.conv3x3_small_mixed(x, w) * cot)
+
+    def loss_lax(x, w):
+        return jnp.sum(_lax_conv(x, w) * cot)
+
+    dx_m, dw_m = jax.grad(loss_mixed, argnums=(0, 1))(x, w)
+    dx_l, dw_l = jax.grad(loss_lax, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_m), np.asarray(dx_l),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw_m), np.asarray(dw_l),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_mixed_eligibility_gate():
+    w = (3, 3, 128, 128)
+    assert fc.eligible_mixed((16, 8, 8, 128), w)
+    assert not fc.eligible_mixed((16, 4, 4, 128), w)   # full-Pallas size
+    assert not fc.eligible_mixed((16, 16, 16, 128), w)
+    assert not fc.eligible_mixed((16, 8, 8, 128), w, strides=(2, 2))
+    assert not fc.eligible_mixed((16, 8, 8, 64), (3, 3, 64, 128))
+
+
 def test_eligibility_gate():
     w = (3, 3, 128, 128)
     assert fc.eligible((16, 4, 4, 128), w)

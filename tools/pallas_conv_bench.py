@@ -58,8 +58,11 @@ def main():
         w = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.02, jnp.bfloat16)
         cot = jnp.asarray(rng.normal(size=(B, s, s, c)), jnp.bfloat16)
 
+        # dispatch-matched candidate: full Pallas at S in {2,4}, mixed
+        # (XLA fwd + Pallas bwd) at S=8 — what FastConv3x3 actually runs
+        cand = fc.conv3x3_small if s in (2, 4) else fc.conv3x3_small_mixed
         fwd_xla = jax.jit(lambda x, w=w: _lax_conv(x, w))
-        fwd_pal = jax.jit(lambda x, w=w: fc.conv3x3_small(x, w))
+        fwd_pal = jax.jit(lambda x, w=w, c=cand: c(x, w))
 
         # fwd + dgrad + wgrad in one x-chainable program. The loss value
         # and dw are folded into the output at 1e-9 weight so nothing is
@@ -76,7 +79,7 @@ def main():
             return jax.jit(f)
 
         gx_xla = train_like(_lax_conv)
-        gx_pal = train_like(fc.conv3x3_small)
+        gx_pal = train_like(cand)
 
         # numerics guard at production shape
         err = float(jnp.max(jnp.abs(
