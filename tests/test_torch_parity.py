@@ -125,7 +125,9 @@ def test_torch_resnet_parity(arch, block, layers, builder):
         train=False))
 
     assert out.shape == ref.shape
-    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
+    # north-star parity: the earlier 2e-3 tolerance was slack, not error —
+    # the ported stacks are float-exact (measured 3.7e-7 max abs at 64px)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
 
 
 def test_converter_rejects_missing_keys():
