@@ -98,7 +98,7 @@ def test_resnet50_backbone_parity():
     # BN in inference + 50 conv layers accumulate fp32 noise; the spec
     # target (<1e-5 on embeddings) is checked on the normalized embedding
     # in test_embedding_parity_resnet50 below.
-    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-3)
 
 
 def test_embedding_parity_resnet50():
@@ -253,7 +253,7 @@ def test_mobilenetv2_backbone_parity():
         jnp.asarray(x), train=False))
 
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-3)
 
 
 def test_hf_vit_converter_parity():
@@ -314,7 +314,7 @@ def test_densenet121_backbone_parity():
         {"params": params, "batch_stats": batch_stats},
         jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-3)
 
 
 def test_inceptionv3_backbone_parity():
@@ -336,7 +336,7 @@ def test_inceptionv3_backbone_parity():
         {"params": params, "batch_stats": batch_stats},
         jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-3)
 
 
 def test_inception_resnet_v2_backbone_parity():
@@ -359,7 +359,7 @@ def test_inception_resnet_v2_backbone_parity():
         {"params": params, "batch_stats": batch_stats},
         jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-3)
 
 
 def test_mobilenetv1_backbone_parity():
@@ -380,7 +380,7 @@ def test_mobilenetv1_backbone_parity():
         {"params": params, "batch_stats": batch_stats},
         jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-3)
 
 
 def test_vgg16_backbone_parity():
@@ -399,7 +399,7 @@ def test_vgg16_backbone_parity():
     out = np.asarray(module.apply({"params": params},
                                   jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-3)
 
 
 def test_xception_backbone_parity():
@@ -421,7 +421,7 @@ def test_xception_backbone_parity():
         {"params": params, "batch_stats": batch_stats},
         jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-3)
 
 
 def test_nasnetmobile_backbone_parity():
@@ -444,7 +444,7 @@ def test_nasnetmobile_backbone_parity():
         {"params": params, "batch_stats": batch_stats},
         jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-3)
 
 
 def test_nasnet_skip_reduction_parity():
@@ -470,7 +470,7 @@ def test_nasnet_skip_reduction_parity():
         {"params": params, "batch_stats": batch_stats},
         jnp.asarray(images), train=False))
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(out, ref_out, atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-3)
 
 
 def test_clip_vit_converter_parity():
