@@ -347,5 +347,33 @@ def main():
     }))
 
 
+def _arm_watchdog():
+    """The axon TPU relay can be down for hours (jax init then retries
+    forever instead of erroring). So the driver always gets an artifact,
+    emit an honest null-value JSON line and exit if the bench hasn't
+    finished within BENCH_WATCHDOG_S (0 disables)."""
+    budget = int(os.environ.get("BENCH_WATCHDOG_S", 2700))
+    if budget <= 0:
+        return
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": f"triplet_train_images_per_sec_per_chip_resnet50"
+                      f"_b{BATCH}_img{IMG}_batch_all_bf16",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": f"bench did not finish within {budget}s — TPU "
+                     "relay unreachable or compile stalled",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
+    _arm_watchdog()
     main()
