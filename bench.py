@@ -110,10 +110,15 @@ def bench_ours(batch, augment: bool = False):
 
     log(f"[{tag}] compiling train step (batch={batch}, img={IMG}) ...")
     t0 = time.perf_counter()
-    # XLA cost-model FLOPs of the whole compiled step (for the MFU% field)
+    # XLA cost-model FLOPs of the whole compiled step (for the MFU% field).
+    # Keep and EXECUTE the AOT-compiled object: AOT compilation does not
+    # populate the jit dispatch cache, so calling `step(...)` after it
+    # would compile the identical program a second time over the relay.
     flops = None
     try:
-        cost = step.lower(state, images, labels).compile().cost_analysis()
+        compiled = step.lower(state, images, labels).compile()
+        step = compiled
+        cost = compiled.cost_analysis()
         if cost:
             c = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(c.get("flops", 0.0)) or None
@@ -267,7 +272,7 @@ def bench_mining_gbs():
     import jax.numpy as jnp
     from embeddingnet_tpu.ops import mining
 
-    b, d, ks = 4096, 256, 8
+    b, d, ks = int(os.environ.get("BENCH_MINING_B", 4096)), 256, 8
     rng = np.random.default_rng(0)
     emb = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
     labels = jnp.asarray(np.repeat(np.arange(b // ks), ks), jnp.int32)
@@ -298,6 +303,12 @@ def bench_mining_gbs():
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the ambient sitecustomize re-registers the axon TPU backend;
+        # forcing CPU (smoke drives of this script) needs the config
+        # update too, or jax dials the relay anyway
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     batch = BATCH
     try:
         bench_mining_gbs()

@@ -43,6 +43,11 @@ class DecodeCache:
             return [self._data.get(p) for p in paths]
 
     def put(self, path, img: np.ndarray):
+        if img.base is not None:
+            # Never retain a view: a row of a [M, h, w, 3] decode buffer
+            # would pin the whole buffer while _bytes accounts only the
+            # row, blowing the byte budget silently.
+            img = img.copy()
         with self._lock:
             if path in self._data or self._bytes + img.nbytes > self.budget:
                 return

@@ -64,9 +64,16 @@ def _batch_tile(batch: int, s: int) -> Optional[int]:
     return None
 
 
+# Weight block [3, 3, Cin, Cout] lives whole in VMEM (constant
+# index_map). Cap it so the kernel stays inside the 16 MB/core scoped
+# limit next to the row-stacked operands: C=512 bf16 (4.7 MB) is the
+# largest measured-working configuration; C>=768 would not fit.
+_MAX_WEIGHT_BYTES = 6 * 1024 * 1024
+
+
 def _gate(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
           strides: Tuple[int, int], groups: int,
-          spatial: Tuple[int, ...]) -> bool:
+          spatial: Tuple[int, ...], itemsize: int) -> bool:
     if tuple(strides) != (1, 1) or groups != 1:
         return False
     if len(x_shape) != 4 or w_shape[:2] != (3, 3):
@@ -79,27 +86,42 @@ def _gate(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
     cout = w_shape[3]
     if cin % 128 != 0 or cout % 128 != 0:
         return False
+    if not _interpret():
+        # Hardware-only safety gates (interpret mode has no VMEM limit
+        # and the CPU test suite exercises f32 through it): the VMEM
+        # budget was calibrated on 2-byte dtypes (bf16) — wider compute
+        # dtypes double every operand and are unvalidated on-chip, so
+        # they fall back to the XLA conv instead of risking a Mosaic
+        # scoped-vmem compile failure.
+        if itemsize > 2:
+            return False
+        if 9 * cin * cout * itemsize > _MAX_WEIGHT_BYTES:
+            return False
     return _batch_tile(b, h) is not None
 
 
 def eligible(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
-             strides: Tuple[int, int] = (1, 1), groups: int = 1) -> bool:
+             strides: Tuple[int, int] = (1, 1), groups: int = 1,
+             itemsize: int = 2) -> bool:
     """Static-shape gate for the full (fwd + bwd) Pallas path.
 
     Eligible = stride-1 SAME 3x3, ungrouped, square spatial S in {2, 4}
     (measured on v5e, tools/pallas_conv_bench.py: 1.3-1.5x there; at
     8x8 the Pallas forward loses to XLA — see :func:`eligible_mixed` —
     and larger maps keep enough rows per position for XLA's implicit
-    GEMM), lane-aligned channels, and a batch divisible by a
-    power-of-two tile. Everything else falls back to
-    ``lax.conv_general_dilated``.
+    GEMM), lane-aligned channels, a batch divisible by a power-of-two
+    tile, and (on real TPU only) a 2-byte compute dtype with the weight
+    block under :data:`_MAX_WEIGHT_BYTES`. Everything else falls back
+    to ``lax.conv_general_dilated``. ``itemsize`` is the compute
+    dtype's byte width (callers with an array should pass
+    ``x.dtype.itemsize``).
     """
-    return _gate(x_shape, w_shape, strides, groups, (2, 4))
+    return _gate(x_shape, w_shape, strides, groups, (2, 4), itemsize)
 
 
 def eligible_mixed(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
                    strides: Tuple[int, int] = (1, 1),
-                   groups: int = 1) -> bool:
+                   groups: int = 1, itemsize: int = 2) -> bool:
     """Gate for the mixed path: XLA forward + Pallas backward.
 
     At 8x8 the per-op measurements split: XLA wins the forward (more
@@ -108,7 +130,7 @@ def eligible_mixed(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
     the contraction work and XLA schedules it poorly at this size). The
     mixed path keeps XLA's forward and swaps in the Pallas gradients —
     same constraints as :func:`eligible` otherwise."""
-    return _gate(x_shape, w_shape, strides, groups, (8,))
+    return _gate(x_shape, w_shape, strides, groups, (8,), itemsize)
 
 
 def _fwd_kernel(s: int, bt: int, x_ref, w_ref, o_ref):
@@ -305,10 +327,10 @@ class FastConv3x3(nn.Module):
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
         if eligible(x.shape, kernel.shape, self.strides,
-                    self.feature_group_count):
+                    self.feature_group_count, x.dtype.itemsize):
             return conv3x3_small(x, kernel)
         if eligible_mixed(x.shape, kernel.shape, self.strides,
-                          self.feature_group_count):
+                          self.feature_group_count, x.dtype.itemsize):
             return conv3x3_small_mixed(x, kernel)
         return lax.conv_general_dilated(
             x, kernel, window_strides=tuple(self.strides),

@@ -78,12 +78,9 @@ def main():
 
     # 3. Export: encoder weights + encodings database
     #    (`models.py:61-90` equivalents; same flow as tools/train.py)
-    import jax
     from embeddingnet_tpu.models import EmbeddingNet
     net = EmbeddingNet(params)
     net.variables = trainer.encoder_variables()
-    net._encode_jit = jax.jit(
-        lambda v, x: net.module.apply(v, x, train=False))
     db = net.generate_encodings(loader, max_n_samples=10)
     net.save_encodings(db, work)
     w_path = net.save_base_model(work)

@@ -294,3 +294,21 @@ def test_train_sampler_epochs_differ(tmp_path, tiny_dataset):
 
     assert epoch_paths(0) != epoch_paths(1)
     assert epoch_paths(0) == epoch_paths(0)  # still reproducible
+
+
+def test_decode_cache_never_retains_views():
+    """put() must copy row views: retaining a view of a [M, h, w, 3]
+    decode buffer would pin the whole buffer while _bytes accounts only
+    the row (round-3 review finding)."""
+    from embeddingnet_tpu.data.pipeline import DecodeCache
+
+    cache = DecodeCache(budget_mb=1)
+    batch = np.arange(4 * 8 * 8 * 3, dtype=np.uint8).reshape(4, 8, 8, 3)
+    cache.put("a", batch[0])              # a view
+    stored = cache._data["a"]
+    assert stored.base is None            # owns its memory
+    np.testing.assert_array_equal(stored, batch[0])
+    # standalone arrays are stored as-is (no redundant copy)
+    solo = np.zeros((8, 8, 3), np.uint8)
+    cache.put("b", solo)
+    assert cache._data["b"] is solo

@@ -178,3 +178,28 @@ def test_fastconv_module_param_compat():
         want = ref.apply(vars_ref, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_hardware_gates_vmem_and_dtype(monkeypatch):
+    """On real TPU (non-interpret) the gates must also bound the VMEM
+    weight block and restrict to the calibrated 2-byte compute dtypes;
+    in interpret mode (this CI) those gates stay open so the f32 oracle
+    tests keep exercising the kernels."""
+    w512 = (3, 3, 512, 512)
+    w1024 = (3, 3, 1024, 1024)
+
+    # interpret mode (CPU): f32 and wide channels stay eligible
+    assert fc.eligible((1024, 2, 2, 512), w512, itemsize=4)
+    assert fc.eligible((1024, 2, 2, 1024), w1024, itemsize=2)
+
+    monkeypatch.setattr(fc, "_interpret", lambda: False)
+    # the calibrated production shape still passes
+    assert fc.eligible((1024, 2, 2, 512), w512, itemsize=2)
+    assert fc.eligible_mixed((1024, 8, 8, 128), (3, 3, 128, 128),
+                             itemsize=2)
+    # f32 compute: unvalidated on-chip -> fall back
+    assert not fc.eligible((1024, 2, 2, 512), w512, itemsize=4)
+    assert not fc.eligible_mixed((1024, 8, 8, 128), (3, 3, 128, 128),
+                                 itemsize=4)
+    # weight block over the VMEM cap (9*1024*1024*2 B ~= 18.9 MB)
+    assert not fc.eligible((1024, 2, 2, 1024), w1024, itemsize=2)

@@ -58,8 +58,11 @@ def probe(backbone, batch, img, steps=20):
 
     flops = None
     try:
-        lowered = step.lower(state, images, labels)
-        cost = lowered.compile().cost_analysis()
+        # keep + execute the AOT executable: AOT compiles don't populate
+        # the jit dispatch cache, so step(...) would recompile otherwise
+        compiled = step.lower(state, images, labels).compile()
+        step = compiled
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
