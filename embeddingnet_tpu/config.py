@@ -285,9 +285,9 @@ class PerformanceConfig(_SectionBase):
     # (ops/fused_conv.py): replaces XLA's conv on the 2x2/4x4/8x8
     # stride-1 stage convs with shifted-tap MXU matmul kernels
     # (fwd + dgrad + wgrad). Numerics match to bf16 rounding; parameter
-    # trees are unchanged. Single-device path only — the Trainer
-    # ignores it (with a warning) on a >1-device mesh, where GSPMD
-    # cannot partition the custom kernels.
+    # trees are unchanged. On a >1-device mesh the Trainer switches to
+    # the custom_partitioning-wrapped SPMD variants: conv/dgrad keep
+    # the batch sharding, the weight grad psums over the batch axes.
     pallas_conv: bool = False
     # Sanitizer mode (SURVEY.md §5 race-detection analog): raise on any
     # NaN produced inside jitted computations.

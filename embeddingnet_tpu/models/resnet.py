@@ -34,11 +34,16 @@ def _conv3x3(filters, strides, groups, use_bias, dtype, fast, name):
     (``PERFORMANCE.pallas_conv``) when enabled and bias-free, else
     ``nn.Conv``. Both have the identical ``kernel`` param, so the flag
     never changes checkpoints or weight ports; FastConv3x3 itself falls
-    back to ``lax`` for ineligible static shapes (stride 2, big maps)."""
+    back to ``lax`` for ineligible static shapes (stride 2, big maps).
+
+    ``fast`` is False/True/"spmd": "spmd" (set by the Trainer under a
+    >1-device mesh) selects the custom_partitioning-wrapped kernels so
+    the convs shard over the batch mesh axis instead of gathering."""
     if fast and not use_bias:
         return FastConv3x3(filters, strides=tuple(strides),
                            feature_group_count=groups,
-                           kernel_init=he_normal(), dtype=dtype, name=name)
+                           kernel_init=he_normal(), dtype=dtype,
+                           spmd=(fast == "spmd"), name=name)
     return nn.Conv(filters, (3, 3), strides, padding=((1, 1), (1, 1)),
                    use_bias=use_bias, feature_group_count=groups,
                    kernel_init=he_normal(), dtype=dtype, name=name)

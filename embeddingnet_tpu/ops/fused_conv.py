@@ -19,11 +19,32 @@ This module generalizes the prototype into a differentiable drop-in:
   output block accumulates correctly).
 * :func:`conv3x3_small_mixed` — XLA forward + Pallas backward, for the
   8x8 maps where the per-direction winners split.
+* :func:`conv3x3_small_spmd` / :func:`conv3x3_small_mixed_spmd` — the
+  same ops wrapped in ``jax.experimental.custom_partitioning`` so they
+  compose with a GSPMD-sharded train step: the conv and its dgrad are
+  batch-parallel (the batch sharding passes straight through, no
+  gathers), and the weight gradient runs per-shard with one ``psum``
+  over the batch mesh axes. Used by the Trainer when a >1-device mesh
+  is active; per-shard shapes that fall outside the Pallas gate fall
+  back to the XLA conv inside the partitioned lowering.
+* :func:`conv3x3_small_bn_relu` (+ ``_spmd``) — the r3 fusion
+  experiment productionized (docs/BENCHMARKS.md "the stage-4
+  experiment" measured 1.28x for fusing the BN epilogue): the
+  *previous* BatchNorm's affine apply + ReLU folded into the conv's
+  prologue, so the normalized activation ``z = relu(y*scale + bias)``
+  is computed in VMEM and never round-trips HBM. Training-correct: the
+  batch statistics (and their gradient) stay outside in XLA — the op
+  takes the raw pre-BN activation ``y`` plus the per-channel effective
+  ``scale``/``bias`` and differentiates through all four inputs.
 * :class:`FastConv3x3` — ``nn.Conv``-compatible Flax module (same
   ``kernel`` param name/shape/init, no bias) that dispatches to the
   Pallas path when the static shape is eligible and falls back to
   ``lax.conv_general_dilated`` otherwise, so checkpoints and weight
   ports are interchangeable with ``nn.Conv``.
+* :class:`BNScaleBias` / :class:`FusedBNReluConv3x3` — the Flax pair
+  the ResNet blocks use: a ``nn.BatchNorm`` subclass with an identical
+  parameter/variable tree that returns the effective (scale, bias)
+  instead of applying them, and the conv module consuming the pair.
 
 Reference parity note: the reference has no counterpart (its convs are
 cuDNN via Keras); this is a TPU-only performance path gated by
@@ -300,12 +321,469 @@ def _mixed_vjp_fwd(x, w):
 conv3x3_small_mixed.defvjp(_mixed_vjp_fwd, _conv_vjp_bwd)
 
 
+# ---------------------------------------------------------------------
+# SPMD (mesh-partitioned) variants.
+#
+# GSPMD cannot see inside a pallas_call, so under a sharded train step
+# the plain ops above would force a full-batch gather onto every
+# device. custom_partitioning teaches the partitioner the two facts it
+# needs: the conv (and its dgrad, which is the same kernel) is
+# embarrassingly batch-parallel, and the weight gradient is a batch
+# reduction (per-shard partial + one all-reduce over the batch axes).
+# The shardy sharding rules below mark every non-batch factor
+# need-replication, so a TP-sharded channel dim is all-gathered at the
+# op boundary rather than miscomputed.
+# ---------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
+
+
+def _batch_axes(sharding) -> Optional[Any]:
+    """Mesh axis name(s) the leading (batch) dim is sharded over, or
+    None if unsharded / not a NamedSharding."""
+    spec = getattr(sharding, "spec", None)
+    if not spec or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+def _lax_wgrad(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """XLA weight gradient of the stride-1 SAME 3x3 conv (per-shard
+    fallback when the local batch misses the Pallas gate): dW[dy, dx] =
+    sum_{b,y,x} x_pad[b, y+dy, x+dx] * g[b, y, x], f32-accumulated to
+    match :func:`_wgrad_impl`."""
+    s = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.stack([
+        jnp.stack([
+            jnp.einsum("bhwc,bhwo->co", xp[:, dy:dy + s, dx:dx + s, :],
+                       g, preferred_element_type=jnp.float32)
+            for dx in range(3)])
+        for dy in range(3)])
+
+
+@custom_partitioning
+def _conv_fwd_spmd(x, w):
+    return _conv_fwd_impl(x, w)
+
+
+def _fwd_partition(mesh, arg_shapes, result_shape):
+    b_axis = _batch_axes(arg_shapes[0].sharding)
+
+    def lower_fn(x, w):
+        # per-shard shapes: re-check the gate on the local batch and
+        # fall back to the XLA conv if the shard misses it
+        if _gate(x.shape, w.shape, (1, 1), 1, (2, 4, 8),
+                 x.dtype.itemsize):
+            return _conv_fwd_impl(x, w)
+        return _lax_conv3x3(x, w)
+
+    arg_shardings = (
+        NamedSharding(mesh, PartitionSpec(b_axis, None, None, None)),
+        NamedSharding(mesh, PartitionSpec(None, None, None, None)),
+    )
+    out_sharding = NamedSharding(
+        mesh, PartitionSpec(b_axis, None, None, None))
+    return mesh, lower_fn, out_sharding, arg_shardings
+
+
+def _fwd_infer(mesh, arg_shapes, result_shape):
+    b_axis = _batch_axes(arg_shapes[0].sharding)
+    return NamedSharding(mesh, PartitionSpec(b_axis, None, None, None))
+
+
+_conv_fwd_spmd.def_partition(
+    partition=_fwd_partition,
+    infer_sharding_from_operands=_fwd_infer,
+    sharding_rule="b s1 s2 ci, k1 k2 ci2 co -> b s1 s2 co",
+    need_replication_factors=("s1", "s2", "ci", "k1", "k2", "ci2", "co"),
+)
+
+
+@custom_partitioning
+def _wgrad_spmd(x, g):
+    return _wgrad_impl(x, g)
+
+
+def _wgrad_partition(mesh, arg_shapes, result_shape):
+    b_axis = _batch_axes(arg_shapes[0].sharding)
+
+    def lower_fn(x, g):
+        if _gate(x.shape, (3, 3, x.shape[-1], g.shape[-1]), (1, 1), 1,
+                 (2, 4, 8), x.dtype.itemsize):
+            dw = _wgrad_impl(x, g)
+        else:
+            dw = _lax_wgrad(x, g)
+        if b_axis is not None:
+            # the partitioner does not insert reduction collectives for
+            # custom ops — the per-shard lowering owns the psum
+            dw = lax.psum(dw, b_axis)
+        return dw
+
+    arg_shardings = (
+        NamedSharding(mesh, PartitionSpec(b_axis, None, None, None)),
+        NamedSharding(mesh, PartitionSpec(b_axis, None, None, None)),
+    )
+    out_sharding = NamedSharding(mesh, PartitionSpec(None, None, None, None))
+    return mesh, lower_fn, out_sharding, arg_shardings
+
+
+def _wgrad_infer(mesh, arg_shapes, result_shape):
+    return NamedSharding(mesh, PartitionSpec(None, None, None, None))
+
+
+_wgrad_spmd.def_partition(
+    partition=_wgrad_partition,
+    infer_sharding_from_operands=_wgrad_infer,
+    sharding_rule="b s1 s2 ci, b s1 s2 co -> k1 k2 ci co",
+    reduction_factors=("b",),
+    need_replication_factors=("s1", "s2", "ci", "co", "k1", "k2"),
+)
+
+
+@jax.custom_vjp
+def conv3x3_small_spmd(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """:func:`conv3x3_small` for GSPMD-sharded train steps: same value
+    and gradient, but the conv/dgrad keep the batch sharding and the
+    wgrad psums per-shard partials over the batch mesh axes."""
+    return _conv_fwd_spmd(x, w)
+
+
+def _spmd_vjp_fwd(x, w):
+    return _conv_fwd_spmd(x, w), (x, w)
+
+
+def _spmd_vjp_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    w_flip = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    dx = _conv_fwd_spmd(g, w_flip.astype(w.dtype))
+    dw = _wgrad_spmd(x, g).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3_small_spmd.defvjp(_spmd_vjp_fwd, _spmd_vjp_bwd)
+
+
+@jax.custom_vjp
+def conv3x3_small_mixed_spmd(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """:func:`conv3x3_small_mixed` under GSPMD: XLA forward (natively
+    batch-partitionable), Pallas backward via the partitioned ops."""
+    return _lax_conv3x3(x, w)
+
+
+conv3x3_small_mixed_spmd.defvjp(_mixed_vjp_fwd, _spmd_vjp_bwd)
+
+
+# ---------------------------------------------------------------------
+# BN-apply + ReLU fused into the conv prologue.
+#
+# Layout in a ResNet block: conv1 -> bn1 -> relu -> conv2(3x3). XLA
+# materializes bn1's normalized output z in HBM (one write + one read
+# of [B, S, S, C]) because it cannot fuse elementwise producers into a
+# convolution. Here conv2 takes the RAW conv1 output y plus bn1's
+# effective per-channel affine (scale = gamma*rsqrt(var+eps), bias =
+# beta - mean*scale) and computes z = relu(y*scale + bias) in VMEM.
+# The batch statistics themselves (and the gradient flowing into them)
+# are plain XLA reductions outside the kernel, so training semantics
+# are exact. The SAME-padding ring must stay zero AFTER the affine
+# (relu(bias) != 0), hence the iota mask in the kernels.
+# ---------------------------------------------------------------------
+
+
+def _affine_relu_block(s, x_ref, s_ref, b_ref, dtype):
+    """relu(x*scale + bias) over the [BT, S+2, S+2, C] padded block,
+    with the padding ring re-zeroed (f32 math, cast to ``dtype``)."""
+    z = jnp.maximum(
+        x_ref[...].astype(jnp.float32) * s_ref[0, :] + b_ref[0, :], 0.0)
+    row = lax.broadcasted_iota(jnp.int32, (s + 2, s + 2), 0)
+    col = lax.broadcasted_iota(jnp.int32, (s + 2, s + 2), 1)
+    inner = (row >= 1) & (row <= s) & (col >= 1) & (col <= s)
+    return jnp.where(inner[None, :, :, None], z, 0.0).astype(dtype)
+
+
+def _fwd_bn_kernel(s: int, bt: int, x_ref, w_ref, s_ref, b_ref, o_ref):
+    """o = conv3x3(relu(x*scale + bias), w) — :func:`_fwd_kernel` with
+    the affine+relu prologue applied to the padded input block."""
+    cout = o_ref.shape[-1]
+    z = _affine_relu_block(s, x_ref, s_ref, b_ref, x_ref.dtype)
+    acc = jnp.zeros((s * s * bt, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            a = jnp.concatenate(
+                [z[:, oy + dy, ox + dx, :]
+                 for oy in range(s) for ox in range(s)], axis=0)
+            acc = acc + jnp.dot(a, w_ref[dy, dx, :, :],
+                                preferred_element_type=jnp.float32)
+    out = acc.astype(o_ref.dtype)
+    for i, (oy, ox) in enumerate([(y, x) for y in range(s)
+                                  for x in range(s)]):
+        o_ref[:, oy, ox, :] = out[i * bt:(i + 1) * bt, :]
+
+
+def _wgrad_bn_kernel(s: int, bt: int, x_ref, g_ref, s_ref, b_ref, o_ref):
+    """dW += relu(x*scale+bias)[shift t]^T @ g — :func:`_wgrad_kernel`
+    with the prologue recomputing z from the raw input (z is never a
+    residual in HBM)."""
+    i = pl.program_id(0)
+    z = _affine_relu_block(s, x_ref, s_ref, b_ref, x_ref.dtype)
+    g = jnp.concatenate(
+        [g_ref[:, oy, ox, :] for oy in range(s) for ox in range(s)],
+        axis=0)
+    for dy in range(3):
+        for dx in range(3):
+            a = jnp.concatenate(
+                [z[:, oy + dy, ox + dx, :]
+                 for oy in range(s) for ox in range(s)], axis=0)
+            dw = lax.dot_general(
+                a, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            @pl.when(i == 0)
+            def _init():
+                o_ref[dy, dx, :, :] = dw
+
+            @pl.when(i > 0)
+            def _acc():
+                o_ref[dy, dx, :, :] = o_ref[dy, dx, :, :] + dw
+
+
+def _conv_bn_fwd_impl(x, w, scale, bias):
+    b, s = x.shape[0], x.shape[1]
+    cin, cout = w.shape[2], w.shape[3]
+    bt = _batch_tile(b, s)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    sb = jnp.reshape(scale.astype(jnp.float32), (1, cin))
+    bb = jnp.reshape(bias.astype(jnp.float32), (1, cin))
+    return pl.pallas_call(
+        functools.partial(_fwd_bn_kernel, s, bt),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s + 2, s + 2, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, s, s, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, s, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * s * 9 * cin * cout,
+            bytes_accessed=(x.size + w.size) * x.dtype.itemsize
+            + b * s * s * cout * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(xp, w, sb, bb)
+
+
+def _wgrad_bn_impl(x, g, scale, bias):
+    b, s, cin, cout = x.shape[0], x.shape[1], x.shape[3], g.shape[3]
+    bt = _batch_tile(b, s)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    sb = jnp.reshape(scale.astype(jnp.float32), (1, cin))
+    bb = jnp.reshape(bias.astype(jnp.float32), (1, cin))
+    return pl.pallas_call(
+        functools.partial(_wgrad_bn_kernel, s, bt),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s + 2, s + 2, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, s, s, cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * s * 9 * cin * cout,
+            bytes_accessed=(x.size + g.size) * x.dtype.itemsize
+            + 9 * cin * cout * 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(xp, g, sb, bb)
+
+
+def _affine_relu(x, scale, bias):
+    """XLA reference of the prologue: relu(x*scale + bias), f32 math,
+    cast back to ``x.dtype``."""
+    z = jnp.maximum(x.astype(jnp.float32) * scale + bias, 0.0)
+    return z.astype(x.dtype)
+
+
+def _bn_vjp_bwd_common(dgrad_fn, wgrad_fn, res, g):
+    """Shared backward for the fused op (plain and SPMD variants).
+
+    dz comes from the conv dgrad (same kernel as the forward conv, on
+    flipped weights); the relu/affine chain rule and the per-channel
+    scale/bias reductions are elementwise XLA (one fused pass over a
+    small-spatial array); dW recomputes z inside the wgrad kernel.
+    """
+    x, w, scale, bias = res
+    g = g.astype(x.dtype)
+    w_flip = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    dz = dgrad_fn(g, w_flip.astype(w.dtype)).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    dpre = dz * (xf * scale + bias > 0)
+    dx = (dpre * scale).astype(x.dtype)
+    ds = jnp.sum(dpre * xf, axis=(0, 1, 2)).astype(scale.dtype)
+    db = jnp.sum(dpre, axis=(0, 1, 2)).astype(bias.dtype)
+    dw = wgrad_fn(x, g, scale, bias).astype(w.dtype)
+    return dx, dw, ds, db
+
+
+@jax.custom_vjp
+def conv3x3_small_bn_relu(x, w, scale, bias):
+    """``conv3x3(relu(x*scale + bias), w)`` in one Pallas program.
+
+    ``x``: [B, S, S, Cin] RAW (pre-BN) activation; ``scale``/``bias``:
+    per-channel f32 effective affine of the preceding BatchNorm (batch
+    or running statistics — computed OUTSIDE, so both train and eval
+    semantics are exact); ``w``: [3, 3, Cin, Cout]. :func:`eligible`
+    must hold on (x, w). Differentiable in all four arguments.
+    """
+    return _conv_bn_fwd_impl(x, w, scale, bias)
+
+
+def _bn_vjp_fwd(x, w, scale, bias):
+    return _conv_bn_fwd_impl(x, w, scale, bias), (x, w, scale, bias)
+
+
+def _bn_vjp_bwd(res, g):
+    return _bn_vjp_bwd_common(_conv_fwd_impl, _wgrad_bn_impl, res, g)
+
+
+conv3x3_small_bn_relu.defvjp(_bn_vjp_fwd, _bn_vjp_bwd)
+
+
+# SPMD wrappers: batch-parallel like the plain conv (scale/bias ride
+# along replicated), wgrad psums over the batch axes.
+
+def _lax_conv_bn(x, w, scale, bias):
+    return _lax_conv3x3(_affine_relu(x, scale, bias), w)
+
+
+@custom_partitioning
+def _conv_bn_fwd_spmd(x, w, scale, bias):
+    return _conv_bn_fwd_impl(x, w, scale, bias)
+
+
+def _bn_fwd_partition(mesh, arg_shapes, result_shape):
+    b_axis = _batch_axes(arg_shapes[0].sharding)
+
+    def lower_fn(x, w, scale, bias):
+        if _gate(x.shape, w.shape, (1, 1), 1, (2, 4, 8),
+                 x.dtype.itemsize):
+            return _conv_bn_fwd_impl(x, w, scale, bias)
+        return _lax_conv_bn(x, w, scale, bias)
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    arg_shardings = (
+        NamedSharding(mesh, PartitionSpec(b_axis, None, None, None)),
+        NamedSharding(mesh, PartitionSpec(None, None, None, None)),
+        rep, rep,
+    )
+    out_sharding = NamedSharding(
+        mesh, PartitionSpec(b_axis, None, None, None))
+    return mesh, lower_fn, out_sharding, arg_shardings
+
+
+def _bn_fwd_infer(mesh, arg_shapes, result_shape):
+    b_axis = _batch_axes(arg_shapes[0].sharding)
+    return NamedSharding(mesh, PartitionSpec(b_axis, None, None, None))
+
+
+_conv_bn_fwd_spmd.def_partition(
+    partition=_bn_fwd_partition,
+    infer_sharding_from_operands=_bn_fwd_infer,
+    sharding_rule="b s1 s2 ci, k1 k2 ci2 co, ci3, ci4 -> b s1 s2 co",
+    need_replication_factors=("s1", "s2", "ci", "k1", "k2", "ci2", "co",
+                              "ci3", "ci4"),
+)
+
+
+@custom_partitioning
+def _wgrad_bn_spmd(x, g, scale, bias):
+    return _wgrad_bn_impl(x, g, scale, bias)
+
+
+def _wgrad_bn_partition(mesh, arg_shapes, result_shape):
+    b_axis = _batch_axes(arg_shapes[0].sharding)
+
+    def lower_fn(x, g, scale, bias):
+        if _gate(x.shape, (3, 3, x.shape[-1], g.shape[-1]), (1, 1), 1,
+                 (2, 4, 8), x.dtype.itemsize):
+            dw = _wgrad_bn_impl(x, g, scale, bias)
+        else:
+            dw = _lax_wgrad(_affine_relu(x, scale, bias), g)
+        if b_axis is not None:
+            dw = lax.psum(dw, b_axis)
+        return dw
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    arg_shardings = (
+        NamedSharding(mesh, PartitionSpec(b_axis, None, None, None)),
+        NamedSharding(mesh, PartitionSpec(b_axis, None, None, None)),
+        rep, rep,
+    )
+    out_sharding = NamedSharding(mesh, PartitionSpec(None, None, None, None))
+    return mesh, lower_fn, out_sharding, arg_shardings
+
+
+def _wgrad_bn_infer(mesh, arg_shapes, result_shape):
+    return NamedSharding(mesh, PartitionSpec(None, None, None, None))
+
+
+_wgrad_bn_spmd.def_partition(
+    partition=_wgrad_bn_partition,
+    infer_sharding_from_operands=_wgrad_bn_infer,
+    sharding_rule="b s1 s2 ci, b s1 s2 co, ci3, ci4 -> k1 k2 ci co",
+    reduction_factors=("b",),
+    # shardy requires special factors ordered by first appearance in
+    # the rule string (ci3/ci4 appear before k1/k2)
+    need_replication_factors=("s1", "s2", "ci", "co", "ci3", "ci4",
+                              "k1", "k2"),
+)
+
+
+@jax.custom_vjp
+def conv3x3_small_bn_relu_spmd(x, w, scale, bias):
+    """:func:`conv3x3_small_bn_relu` under GSPMD — batch stays sharded
+    through the fused kernels, the weight grad psums over the batch
+    mesh axes."""
+    return _conv_bn_fwd_spmd(x, w, scale, bias)
+
+
+def _bn_spmd_vjp_fwd(x, w, scale, bias):
+    return _conv_bn_fwd_spmd(x, w, scale, bias), (x, w, scale, bias)
+
+
+def _bn_spmd_vjp_bwd(res, g):
+    return _bn_vjp_bwd_common(_conv_fwd_spmd, _wgrad_bn_spmd, res, g)
+
+
+conv3x3_small_bn_relu_spmd.defvjp(_bn_spmd_vjp_fwd, _bn_spmd_vjp_bwd)
+
+
 class FastConv3x3(nn.Module):
     """``nn.Conv``-compatible 3x3 conv that uses the Pallas path when
     the static shape is :func:`eligible`, else ``lax`` — same ``kernel``
     param name, shape, and init as ``nn.Conv(features, (3, 3),
     padding=((1, 1), (1, 1)), use_bias=False)``, so parameter trees are
-    interchangeable (checkpoints, weight ports, freeze masks)."""
+    interchangeable (checkpoints, weight ports, freeze masks).
+
+    ``spmd=True`` selects the ``custom_partitioning``-wrapped ops so the
+    module composes with a GSPMD-sharded train step (the Trainer sets
+    this when a >1-device mesh is active); the eligibility gate then
+    applies to the global shape, with a per-shard re-check inside the
+    partitioned lowering."""
 
     features: int
     strides: Tuple[int, int] = (1, 1)
@@ -313,6 +791,7 @@ class FastConv3x3(nn.Module):
     kernel_init: Any = nn.initializers.he_normal()
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    spmd: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -328,10 +807,12 @@ class FastConv3x3(nn.Module):
         kernel = kernel.astype(dtype)
         if eligible(x.shape, kernel.shape, self.strides,
                     self.feature_group_count, x.dtype.itemsize):
-            return conv3x3_small(x, kernel)
+            return (conv3x3_small_spmd if self.spmd
+                    else conv3x3_small)(x, kernel)
         if eligible_mixed(x.shape, kernel.shape, self.strides,
                           self.feature_group_count, x.dtype.itemsize):
-            return conv3x3_small_mixed(x, kernel)
+            return (conv3x3_small_mixed_spmd if self.spmd
+                    else conv3x3_small_mixed)(x, kernel)
         return lax.conv_general_dilated(
             x, kernel, window_strides=tuple(self.strides),
             padding=((1, 1), (1, 1)),

@@ -125,11 +125,12 @@ class Trainer:
         dummy = jnp.zeros((2,) + tuple(m.input_shape), jnp.float32)
         fast_conv = self.params.performance.pallas_conv
         if fast_conv and self.mesh is not None:
-            # GSPMD cannot partition the custom kernels; a sharded train
-            # step would gather the full batch onto every device.
-            self.log("PERFORMANCE.pallas_conv ignored on a >1-device "
-                     "mesh (single-device path only)")
-            fast_conv = False
+            # under a mesh, use the custom_partitioning-wrapped kernels:
+            # conv/dgrad stay batch-sharded, wgrad psums over the batch
+            # axes (ops/fused_conv.py "SPMD variants")
+            self.log("PERFORMANCE.pallas_conv on a >1-device mesh: "
+                     "using the SPMD-partitioned Pallas conv path")
+            fast_conv = "spmd"
         self._fast_conv = fast_conv
         if self.mode == "siamese":
             self.module = SiameseModule(

@@ -132,9 +132,9 @@ def test_resnet50_fast_conv_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_trainer_ignores_pallas_conv_on_mesh(tiny_dataset, tmp_path):
-    """On a >1-device mesh the Trainer must fall back (GSPMD cannot
-    partition the custom kernels) and say so."""
+def test_trainer_uses_spmd_pallas_conv_on_mesh(tiny_dataset, tmp_path):
+    """On a >1-device mesh the Trainer keeps the Pallas path through the
+    custom_partitioning-wrapped SPMD kernels (and says so)."""
     from embeddingnet_tpu.config import params_from_dict
     from embeddingnet_tpu.data import ENDataLoader
     from embeddingnet_tpu.train import Trainer
@@ -155,8 +155,109 @@ def test_trainer_ignores_pallas_conv_on_mesh(tiny_dataset, tmp_path):
     logs = []
     loader = ENDataLoader(tiny_dataset, validate=False)
     trainer = Trainer(params, loader, log_fn=logs.append)
-    assert trainer._fast_conv is False
-    assert any("pallas_conv ignored" in str(m) for m in logs)
+    assert trainer._fast_conv == "spmd"
+    assert any("SPMD-partitioned Pallas conv" in str(m) for m in logs)
+
+
+def _mesh8():
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:8]), ("data",))
+
+
+def test_spmd_conv_matches_lax_under_mesh():
+    """Batch-sharded conv3x3_small_spmd: value and both grads match the
+    plain lax conv, the batch sharding passes through with zero
+    all-gathers, and the wgrad carries its psum all-reduce."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh8()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(64, 4, 4, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 128)) * 0.05, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(64, 4, 4, 128)), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    wr = jax.device_put(w, NamedSharding(mesh, P()))
+
+    fwd = jax.jit(fc.conv3x3_small_spmd)
+    got = fwd(xs, wr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_lax_conv(x, w)),
+                               rtol=1e-4, atol=1e-4)
+    assert got.sharding.spec == P("data")
+    hlo = fwd.lower(xs, wr).compile().as_text()
+    assert "all-gather" not in hlo
+
+    def loss_spmd(x, w):
+        return jnp.sum(fc.conv3x3_small_spmd(x, w) * cot)
+
+    def loss_lax(x, w):
+        return jnp.sum(_lax_conv(x, w) * cot)
+
+    gfn = jax.jit(jax.grad(loss_spmd, argnums=(0, 1)))
+    dx_s, dw_s = gfn(xs, wr)
+    dx_l, dw_l = jax.grad(loss_lax, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_l),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw_s), np.asarray(dw_l),
+                               rtol=1e-3, atol=1e-3)
+    ghlo = gfn.lower(xs, wr).compile().as_text()
+    assert "all-gather" not in ghlo
+    assert "all-reduce" in ghlo  # the wgrad psum
+
+
+def test_spmd_conv_local_fallback():
+    """A shard whose local batch misses the Pallas gate (global 8 over 8
+    devices -> local 1) must fall back to the XLA conv inside the
+    partitioned lowering — same values and gradients."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh8()
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 128)) * 0.05, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(8, 4, 4, 128)), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    wr = jax.device_put(w, NamedSharding(mesh, P()))
+
+    def loss_spmd(x, w):
+        return jnp.sum(fc.conv3x3_small_spmd(x, w) * cot)
+
+    val, (dx, dw) = jax.jit(
+        jax.value_and_grad(loss_spmd, argnums=(0, 1)))(xs, wr)
+    want = jnp.sum(_lax_conv(x, w) * cot)
+    np.testing.assert_allclose(float(val), float(want), rtol=1e-4)
+    dx_l, dw_l = jax.grad(
+        lambda x, w: jnp.sum(_lax_conv(x, w) * cot), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_l),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_l),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_spmd_fastconv_module_under_mesh():
+    """FastConv3x3(spmd=True) inside jit with a batch-sharded input
+    matches the spmd=False single-device module bit-for-bit semantics
+    (same params, same values, grads included)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh8()
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(32, 2, 2, 128)), jnp.float32)
+    plain = fc.FastConv3x3(features=128)
+    spmd = fc.FastConv3x3(features=128, spmd=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    def loss(mod, v, x):
+        return jnp.sum(mod.apply(v, x) ** 2)
+
+    want = loss(plain, variables, x)
+    got, grads = jax.jit(jax.value_and_grad(
+        lambda v, x: loss(spmd, v, x)))(variables, xs)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    g_ref = jax.grad(lambda v: loss(plain, v, x))(variables)
+    np.testing.assert_allclose(
+        np.asarray(grads["params"]["kernel"]),
+        np.asarray(g_ref["params"]["kernel"]), rtol=1e-3, atol=1e-3)
 
 
 def test_fastconv_module_param_compat():
