@@ -22,7 +22,8 @@ from typing import Any, Callable, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from embeddingnet_tpu.ops.fused_conv import FastConv3x3
+from embeddingnet_tpu.ops.fused_conv import (BNScaleBias, FastConv3x3,
+                                              FusedBNReluConv3x3)
 
 Dtype = Any
 
@@ -47,6 +48,32 @@ def _conv3x3(filters, strides, groups, use_bias, dtype, fast, name):
     return nn.Conv(filters, (3, 3), strides, padding=((1, 1), (1, 1)),
                    use_bias=use_bias, feature_group_count=groups,
                    kernel_init=he_normal(), dtype=dtype, name=name)
+
+
+def _can_fuse_bn_conv(norm, fast, use_bias, groups, strides) -> bool:
+    """Static gate for replacing a ``bn -> relu -> 3x3 conv`` chain with
+    the fused :class:`BNScaleBias` + :class:`FusedBNReluConv3x3` pair
+    (``PERFORMANCE.pallas_conv``): the norm must be a plain
+    ``nn.BatchNorm`` partial, the conv bias-free/ungrouped/stride-1.
+    The fused modules keep the exact unfused param/variable tree, so
+    this only toggles the compute path, never the checkpoint format."""
+    return (bool(fast) and not use_bias and groups == 1
+            and tuple(strides) == (1, 1)
+            and getattr(norm, "func", norm) is nn.BatchNorm)
+
+
+def _fused_bn_relu_conv(norm, filters, dtype, fast, bn_name, conv_name, x):
+    """``bn(bn_name) -> relu -> conv3x3(conv_name)`` with the BN affine
+    apply + ReLU folded into the conv's Pallas prologue where the shape
+    is eligible (ops/fused_conv.py "BN-apply + ReLU"): the normalized
+    activation never round-trips HBM; batch statistics (and the running
+    -average update) stay exact ``nn.BatchNorm`` semantics inside
+    :class:`BNScaleBias`."""
+    scale, bias = BNScaleBias(name=bn_name,
+                              **dict(getattr(norm, "keywords", {})))(x)
+    return FusedBNReluConv3x3(filters, kernel_init=he_normal(),
+                              dtype=dtype, spmd=(fast == "spmd"),
+                              name=conv_name)(x, scale, bias)
 
 
 class SEModule(nn.Module):
@@ -86,10 +113,15 @@ class BasicBlock(nn.Module):
         # asymmetrically there)
         y = _conv3x3(self.filters, self.strides, 1, self.use_bias,
                      self.dtype, self.fast_conv, "conv1")(x)
-        y = self.norm(name="bn1")(y)
-        y = nn.relu(y)
-        y = _conv3x3(self.filters, (1, 1), 1, self.use_bias,
-                     self.dtype, self.fast_conv, "conv2")(y)
+        if _can_fuse_bn_conv(self.norm, self.fast_conv, self.use_bias,
+                             1, (1, 1)):
+            y = _fused_bn_relu_conv(self.norm, self.filters, self.dtype,
+                                    self.fast_conv, "bn1", "conv2", y)
+        else:
+            y = self.norm(name="bn1")(y)
+            y = nn.relu(y)
+            y = _conv3x3(self.filters, (1, 1), 1, self.use_bias,
+                         self.dtype, self.fast_conv, "conv2")(y)
         y = self.norm(name="bn2")(y)
         if self.use_se:
             y = SEModule(self.filters, dtype=self.dtype, name="se")(y)
@@ -123,10 +155,15 @@ class BottleneckBlock(nn.Module):
         y = nn.Conv(self.filters, (1, 1), s1, use_bias=self.use_bias,
                     kernel_init=he_normal(), dtype=self.dtype,
                     name="conv1")(x)
-        y = self.norm(name="bn1")(y)
-        y = nn.relu(y)
-        y = _conv3x3(self.filters, s3, self.groups, self.use_bias,
-                     self.dtype, self.fast_conv, "conv2")(y)
+        if _can_fuse_bn_conv(self.norm, self.fast_conv, self.use_bias,
+                             self.groups, s3):
+            y = _fused_bn_relu_conv(self.norm, self.filters, self.dtype,
+                                    self.fast_conv, "bn1", "conv2", y)
+        else:
+            y = self.norm(name="bn1")(y)
+            y = nn.relu(y)
+            y = _conv3x3(self.filters, s3, self.groups, self.use_bias,
+                         self.dtype, self.fast_conv, "conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters * self.expansion, (1, 1),

@@ -73,11 +73,42 @@ Dtype = Any
 # stack (> the 16 MB limit) on v5e; 1024 rows fits.
 _MAX_ROWS = 1024
 
+# The BN-fused FORWARD adds the affine+relu'd copy of the input block
+# (no f32 weight accumulator), so it gets a slightly tighter budget
+# than the plain forward; 512 rows (bt=128 at 2x2) compiles and runs
+# inside the full ResNet-50 train step.
+_MAX_ROWS_BN_FWD = 512
 
-def _batch_tile(batch: int, s: int) -> Optional[int]:
+
+def _wgrad_rows(cin: int, cout: int, bn: bool) -> int:
+    """Row budget for the wgrad kernels, by channel width.
+
+    The wgrads carry a [3, 3, Cin, Cout] f32 output block (9.4 MB at
+    C=512) revisited by every grid step, so wide-channel shapes leave
+    little stack for the row-stacked operands. Mosaic's scoped-VMEM
+    usage is NOT predictable from operand arithmetic (measured in-step
+    at s=2/C=512/bt=128: plain 21.58 MB, BN-prologue 18.18 MB — the
+    plain kernel allocates MORE despite fewer operands), and the same
+    kernel that compiles standalone can OOM inside the full train step
+    (the program context costs real headroom). So the budgets are
+    empirical, verified by compiling + running the full ResNet-50
+    @64px/B=1024 train step on v5e: at the C=512 class, 256 rows for
+    the BN wgrad (bt=64 at 2x2) and 128 for the plain one (bt=32)
+    fit; narrower channels keep the forward budget."""
+    if cin * cout >= 512 * 512:
+        return 256 if bn else 128
+    return _MAX_ROWS
+
+
+def _batch_tile(batch: int, s: int,
+                rows: int = _MAX_ROWS) -> Optional[int]:
     """Largest power-of-two batch tile <= 128 dividing ``batch`` whose
-    [S*S*BT, C] operand stays inside the VMEM row budget."""
-    bt = min(128, _MAX_ROWS // (s * s))
+    [S*S*BT, C] operand stays inside the VMEM row budget. The
+    eligibility gate checks the TIGHTEST per-kernel budget (the plain
+    wgrad's), and any batch with a tile under that budget also has one
+    under every looser budget (the search walks powers of two), so
+    eligible shapes always tile for every kernel in the program."""
+    bt = min(128, rows // (s * s))
     while bt >= 8:
         if batch % bt == 0:
             return bt
@@ -118,7 +149,10 @@ def _gate(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
             return False
         if 9 * cin * cout * itemsize > _MAX_WEIGHT_BYTES:
             return False
-    return _batch_tile(b, h) is not None
+    # every kernel in the program must have a tile — the plain wgrad's
+    # budget is the tightest (so e.g. 8x8 @ C=512, whose minimal 512-row
+    # tile busts the wide-channel wgrad budget, falls back to XLA)
+    return _batch_tile(b, h, _wgrad_rows(cin, cout, bn=False)) is not None
 
 
 def eligible(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
@@ -245,7 +279,7 @@ def _conv_fwd_impl(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def _wgrad_impl(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     b, s, cin, cout = x.shape[0], x.shape[1], x.shape[3], g.shape[3]
-    bt = _batch_tile(b, s)
+    bt = _batch_tile(b, s, _wgrad_rows(cin, cout, bn=False))
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     return pl.pallas_call(
         functools.partial(_wgrad_kernel, s, bt),
@@ -494,13 +528,20 @@ conv3x3_small_mixed_spmd.defvjp(_mixed_vjp_fwd, _spmd_vjp_bwd)
 
 def _affine_relu_block(s, x_ref, s_ref, b_ref, dtype):
     """relu(x*scale + bias) over the [BT, S+2, S+2, C] padded block,
-    with the padding ring re-zeroed (f32 math, cast to ``dtype``)."""
+    with the padding ring re-zeroed (f32 math, cast to ``dtype``).
+
+    The ring mask is a [S+2, S+2] f32 built from 2-D iotas and reshaped
+    to [1, S+2, S+2, 1]: a 2-D i1 mask cannot be reshaped to 4-D
+    (Mosaic: "insertion of minor dim ... only supported for 32-bit
+    types"), and full-block 4-D int32 iotas cost ~2x the block in
+    scoped VMEM — the f32 broadcast-multiply is both legal and free."""
     z = jnp.maximum(
         x_ref[...].astype(jnp.float32) * s_ref[0, :] + b_ref[0, :], 0.0)
     row = lax.broadcasted_iota(jnp.int32, (s + 2, s + 2), 0)
     col = lax.broadcasted_iota(jnp.int32, (s + 2, s + 2), 1)
     inner = (row >= 1) & (row <= s) & (col >= 1) & (col <= s)
-    return jnp.where(inner[None, :, :, None], z, 0.0).astype(dtype)
+    mask = inner.astype(jnp.float32).reshape(1, s + 2, s + 2, 1)
+    return (z * mask).astype(dtype)
 
 
 def _fwd_bn_kernel(s: int, bt: int, x_ref, w_ref, s_ref, b_ref, o_ref):
@@ -551,7 +592,7 @@ def _wgrad_bn_kernel(s: int, bt: int, x_ref, g_ref, s_ref, b_ref, o_ref):
 def _conv_bn_fwd_impl(x, w, scale, bias):
     b, s = x.shape[0], x.shape[1]
     cin, cout = w.shape[2], w.shape[3]
-    bt = _batch_tile(b, s)
+    bt = _batch_tile(b, s, _MAX_ROWS_BN_FWD)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     sb = jnp.reshape(scale.astype(jnp.float32), (1, cin))
     bb = jnp.reshape(bias.astype(jnp.float32), (1, cin))
@@ -582,7 +623,7 @@ def _conv_bn_fwd_impl(x, w, scale, bias):
 
 def _wgrad_bn_impl(x, g, scale, bias):
     b, s, cin, cout = x.shape[0], x.shape[1], x.shape[3], g.shape[3]
-    bt = _batch_tile(b, s)
+    bt = _batch_tile(b, s, _wgrad_rows(cin, cout, bn=True))
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     sb = jnp.reshape(scale.astype(jnp.float32), (1, cin))
     bb = jnp.reshape(bias.astype(jnp.float32), (1, cin))
@@ -818,3 +859,109 @@ class FastConv3x3(nn.Module):
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.feature_group_count)
+
+
+class BNScaleBias(nn.BatchNorm):
+    """``nn.BatchNorm`` with an identical parameter/variable tree that
+    returns the effective per-channel affine instead of applying it.
+
+    ``__call__(x)`` computes the statistics exactly like
+    ``nn.BatchNorm`` (flax 0.12 ``_compute_stats``: f32 reductions,
+    fast-variance, running-average update outside initialization) but
+    returns the f32 pair ``(scale, bias)`` with
+    ``scale = gamma * rsqrt(var + eps)`` and
+    ``bias = beta - mean * scale``, so a downstream fused kernel can
+    apply ``relu(x * scale + bias)`` in VMEM
+    (:func:`conv3x3_small_bn_relu`). Because the parameter/variable
+    names, shapes, and init values match ``nn.BatchNorm`` exactly,
+    swapping a block between the fused and unfused form never changes
+    checkpoints or weight ports.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        from flax.linen.normalization import (_canonicalize_axes,
+                                              _compute_stats)
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim)
+                               if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), feature_shape)
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), feature_shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = _compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=(self.axis_name
+                           if not self.is_initializing() else None),
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+
+        scale = lax.rsqrt(var.astype(jnp.float32) + self.epsilon)
+        if self.use_scale:
+            gamma = self.param("scale", self.scale_init, feature_shape,
+                               self.param_dtype)
+            scale = scale * gamma.astype(jnp.float32)
+        bias = -mean.astype(jnp.float32) * scale
+        if self.use_bias:
+            beta = self.param("bias", self.bias_init, feature_shape,
+                              self.param_dtype)
+            bias = bias + beta.astype(jnp.float32)
+        return scale, bias
+
+
+class FusedBNReluConv3x3(nn.Module):
+    """The conv half of the fused ``bn -> relu -> 3x3 conv`` pair.
+
+    Takes the RAW pre-BN activation plus the effective ``(scale,
+    bias)`` from :class:`BNScaleBias` and computes
+    ``conv3x3(relu(x * scale + bias), kernel)`` — through the one-pass
+    Pallas program (:func:`conv3x3_small_bn_relu`) when the static
+    shape is :func:`eligible`, else through an XLA affine+relu followed
+    by the best available conv for the shape (mixed Pallas-backward at
+    8x8, plain ``lax`` conv otherwise) — so the module is safe to use
+    unconditionally wherever the chain matches. Stride 1, ungrouped,
+    no bias; the ``kernel`` param matches ``nn.Conv``/:class:`FastConv3x3`.
+    """
+
+    features: int
+    kernel_init: Any = nn.initializers.he_normal()
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    spmd: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, scale: jnp.ndarray,
+                 bias: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, cin, self.features), self.param_dtype)
+        dtype = self.dtype or jnp.result_type(x, kernel)
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        scale = scale.astype(jnp.float32)
+        bias = bias.astype(jnp.float32)
+        if eligible(x.shape, kernel.shape, (1, 1), 1, x.dtype.itemsize):
+            return (conv3x3_small_bn_relu_spmd if self.spmd
+                    else conv3x3_small_bn_relu)(x, kernel, scale, bias)
+        z = _affine_relu(x, scale, bias)
+        if eligible_mixed(x.shape, kernel.shape, (1, 1), 1,
+                          x.dtype.itemsize):
+            return (conv3x3_small_mixed_spmd if self.spmd
+                    else conv3x3_small_mixed)(z, kernel)
+        return _lax_conv3x3(z, kernel)

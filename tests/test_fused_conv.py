@@ -304,3 +304,161 @@ def test_hardware_gates_vmem_and_dtype(monkeypatch):
                                  itemsize=4)
     # weight block over the VMEM cap (9*1024*1024*2 B ~= 18.9 MB)
     assert not fc.eligible((1024, 2, 2, 1024), w1024, itemsize=2)
+
+
+# ---------------------------------------------------------------------
+# BN-apply + ReLU fused into the conv prologue
+# ---------------------------------------------------------------------
+
+
+def _lax_bn_relu_conv(x, w, scale, bias):
+    """Unfused oracle of conv3x3_small_bn_relu: f32 affine+relu cast
+    back to x.dtype, then the XLA conv."""
+    z = jnp.maximum(x.astype(jnp.float32) * scale + bias, 0.0)
+    return _lax_conv(z.astype(x.dtype), w)
+
+
+def test_bn_relu_fused_matches_lax():
+    """conv3x3_small_bn_relu: value and all four gradients match the
+    unfused lax expression (the SAME-padding ring must stay zero after
+    the affine — relu(bias) != 0 — which the kernels re-mask)."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 128)) * 0.05, jnp.float32)
+    # biases well away from 0 so relu(bias) != 0 exercises the ring mask
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, size=(128,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(128,)) + 1.0, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(8, 4, 4, 128)), jnp.float32)
+
+    got = fc.conv3x3_small_bn_relu(x, w, scale, bias)
+    want = _lax_bn_relu_conv(x, w, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_fused(x, w, s, b):
+        return jnp.sum(fc.conv3x3_small_bn_relu(x, w, s, b) * cot)
+
+    def loss_lax(x, w, s, b):
+        return jnp.sum(_lax_bn_relu_conv(x, w, s, b) * cot)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+    g_l = jax.grad(loss_lax, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+    for a, b_ in zip(g_f, g_l):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_bn_relu_fused_spmd_under_mesh():
+    """conv3x3_small_bn_relu_spmd with a batch-sharded input: value and
+    all gradients match the unfused oracle; no all-gather on the
+    activation path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh8()
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(64, 2, 2, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 128)) * 0.05, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, size=(128,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(128,)) + 1.0, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(64, 2, 2, 128)), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    def loss_spmd(x, w, s, b):
+        return jnp.sum(fc.conv3x3_small_bn_relu_spmd(x, w, s, b) * cot)
+
+    def loss_lax(x, w, s, b):
+        return jnp.sum(_lax_bn_relu_conv(x, w, s, b) * cot)
+
+    vg = jax.jit(jax.value_and_grad(loss_spmd, argnums=(0, 1, 2, 3)))
+    val, g_s = vg(xs, w, scale, bias)
+    want = loss_lax(x, w, scale, bias)
+    np.testing.assert_allclose(float(val), float(want), rtol=1e-4)
+    g_l = jax.grad(loss_lax, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+    for a, b_ in zip(g_s, g_l):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
+    hlo = vg.lower(xs, w, scale, bias).compile().as_text()
+    assert "all-gather" not in hlo
+
+
+def test_bn_scale_bias_matches_batchnorm():
+    """BNScaleBias: identical param/variable tree to nn.BatchNorm, the
+    returned affine reproduces the BatchNorm output in train AND eval
+    mode, and the running-average update matches."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(2.0, 3.0, size=(16, 4, 4, 32)), jnp.float32)
+
+    kw = dict(momentum=0.9, epsilon=1e-3)
+    bn = nn.BatchNorm(**kw)
+    sb = fc.BNScaleBias(**kw)
+
+    v_bn = bn.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    v_sb = sb.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    assert jax.tree.structure(v_bn) == jax.tree.structure(v_sb)
+
+    # seed non-trivial gamma/beta so the affine actually matters
+    v = jax.tree.map(lambda a: a, v_bn)
+    v["params"]["scale"] = jnp.asarray(
+        rng.uniform(0.5, 1.5, size=(32,)), jnp.float32)
+    v["params"]["bias"] = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+
+    # train mode: output parity + identical batch_stats update
+    want, m_bn = bn.apply(v, x, use_running_average=False,
+                          mutable=["batch_stats"])
+    (scale, bias), m_sb = sb.apply(v, x, use_running_average=False,
+                                   mutable=["batch_stats"])
+    got = x * scale + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6),
+        m_bn["batch_stats"], m_sb["batch_stats"])
+
+    # eval mode on the updated stats
+    v2 = {"params": v["params"], "batch_stats": m_bn["batch_stats"]}
+    want_e = bn.apply(v2, x, use_running_average=True)
+    scale_e, bias_e = sb.apply(v2, x, use_running_average=True)
+    np.testing.assert_allclose(np.asarray(x * scale_e + bias_e),
+                               np.asarray(want_e), rtol=1e-5, atol=1e-5)
+
+
+def test_resnet18_fused_train_parity():
+    """fast_conv on vs off for ResNet-18 in TRAIN mode at the headline
+    64px geometry (stages at 4x4/2x2 with 256/512 channels take the
+    fused BN+ReLU+conv path): same embeddings, same param gradients,
+    same batch_stats updates — the flag only changes the compute path."""
+    from embeddingnet_tpu.models.registry import EmbeddingModule
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.uniform(size=(8, 64, 64, 3)), jnp.float32)
+    slow = EmbeddingModule(backbone_name="resnet18", encodings_len=32)
+    fast = EmbeddingModule(backbone_name="resnet18", encodings_len=32,
+                           fast_conv=True)
+    variables = slow.init({"params": jax.random.PRNGKey(0)}, x,
+                          train=False, method="init_all")
+    assert (jax.tree.structure(variables)
+            == jax.tree.structure(fast.init(
+                {"params": jax.random.PRNGKey(0)}, x, train=False,
+                method="init_all")))
+
+    def loss(module, params):
+        def f(p):
+            emb, mut = module.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(emb * emb), (emb, mut)
+        return jax.value_and_grad(f, has_aux=True)(params)
+
+    (v_s, (emb_s, mut_s)), g_s = loss(slow, variables["params"])
+    (v_f, (emb_f, mut_f)), g_f = loss(fast, variables["params"])
+    np.testing.assert_allclose(np.asarray(emb_f), np.asarray(emb_s),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(v_f), float(v_s), rtol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4),
+        g_f, g_s)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        mut_f["batch_stats"], mut_s["batch_stats"])
