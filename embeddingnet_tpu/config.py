@@ -187,12 +187,28 @@ class TrainConfig(_SectionBase):
     # Decoupled weight decay for the 'adamw' optimizer (ignored by the
     # reference optimizer names). ViT-from-scratch recipes need it.
     weight_decay: float = 0.0
+    # Staged mining: train the first N epochs with mining_warmup_mode
+    # before switching to GENERATOR.negatives_selection_mode. Hard mining
+    # from random init collapses (pos ~= neg -> loss = margin; Hermans et
+    # al., and measured on this repo's synthetic set —
+    # docs/BENCHMARKS.md "Config 2"); a semihard warm start is the proven
+    # fix. 0 = off (reference behavior: one fixed mode,
+    # datagenerators.py:188-199). Resume-safe: the active mode is a pure
+    # function of the epoch number.
+    mining_warmup_epochs: int = 0
+    mining_warmup_mode: str = "semihard"
 
     def __post_init__(self):
         if self.optimizer not in _VALID_OPTIMIZERS:
             raise ConfigError(
                 f"TRAIN.optimizer must be one of {_VALID_OPTIMIZERS}, "
                 f"got {self.optimizer!r}")
+        if self.mining_warmup_epochs < 0:
+            raise ConfigError("TRAIN.mining_warmup_epochs must be >= 0")
+        if self.mining_warmup_mode not in _VALID_MINING:
+            raise ConfigError(
+                f"TRAIN.mining_warmup_mode must be one of {_VALID_MINING}, "
+                f"got {self.mining_warmup_mode!r}")
         if ("recall" in (self.monitor or "")
                 and self.eval_recall_every <= 0):
             raise ConfigError(
@@ -281,13 +297,15 @@ class PerformanceConfig(_SectionBase):
     # measurement (docs/MINING.md "Pallas: win or cut"); accepted for
     # config compatibility, warned-and-ignored.
     use_pallas_mining: bool = False
-    # Pallas small-spatial 3x3 conv path for ResNet-family backbones
-    # (ops/fused_conv.py): replaces XLA's conv on the 2x2/4x4/8x8
-    # stride-1 stage convs with shifted-tap MXU matmul kernels
-    # (fwd + dgrad + wgrad). Numerics match to bf16 rounding; parameter
-    # trees are unchanged. On a >1-device mesh the Trainer switches to
-    # the custom_partitioning-wrapped SPMD variants: conv/dgrad keep
-    # the batch sharding, the weight grad psums over the batch axes.
+    # EXPERIMENT (measured SLOWER end-to-end — leave off): Pallas
+    # small-spatial 3x3 conv path for ResNet-family backbones
+    # (ops/fused_conv.py): shifted-tap MXU matmul kernels (fwd + dgrad +
+    # wgrad, BN/ReLU prologue fusion), numerics to bf16 rounding,
+    # nn.Conv-interchangeable params, SPMD custom_partitioning wrappers
+    # on >1-device meshes. The r4 real-chip A/B recorded 0.796x/0.809x
+    # vs XLA convs (per-pallas_call overhead + lost fusion —
+    # docs/BENCHMARKS.md "End-to-end verdict (r4)"); kept available and
+    # tested for future toolchain revisions.
     pallas_conv: bool = False
     # Sanitizer mode (SURVEY.md §5 race-detection analog): raise on any
     # NaN produced inside jitted computations.

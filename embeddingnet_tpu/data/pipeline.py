@@ -158,7 +158,15 @@ class BatchLoader:
                 while not stop.is_set():
                     if self.n_batches is not None and count >= self.n_batches:
                         break
-                    batch = self._decode_batch(pool, next(it))
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        # Finite sampler exhausted (e.g. n_batches unset on
+                        # an exactly-divisible epoch): end the epoch via the
+                        # sentinel below. Letting StopIteration escape would
+                        # kill the thread with an unhandled exception.
+                        break
+                    batch = self._decode_batch(pool, item)
                     while not stop.is_set():
                         try:
                             q.put(batch, timeout=0.2)

@@ -1,5 +1,14 @@
 """Pallas small-spatial 3x3 conv for the ResNet stage bottlenecks.
 
+STATUS (r4): **experiment, CUT from production** — the kernels win
+standalone (1.28x fwd on the stage-4 conv) but the full train step
+measured 0.796x plain / 0.809x augmented vs XLA convs on the real chip
+(`tools/pallas_conv_ab.py`; trace decomposition in docs/BENCHMARKS.md
+"End-to-end verdict (r4)": +30.8 ms of pallas_call time and +17.4 ms of
+lost XLA fusion against −13.3 ms of absorbed BN traffic, plus pad/copy
+boundary costs). `PERFORMANCE.pallas_conv` defaults off and no shipped
+config arms it; the stack stays tested for future toolchain revisions.
+
 Production follow-up to the r3 go/no-go experiment
 (``tools/pallas_fused_conv.py``, docs/BENCHMARKS.md "the stage-4
 experiment"): XLA's ``lax.conv_general_dilated`` runs the late-stage

@@ -238,9 +238,22 @@ class Trainer:
             self.variables, self.optimizer,
             rng=jax.random.PRNGKey(self.params.general.seed + 1))
 
-    def _build_steps(self):
+    def _mining_mode_for_epoch(self, epoch: int) -> str:
+        """Active negatives-selection mode for an epoch. With
+        TRAIN.mining_warmup_epochs: N the first N epochs run
+        TRAIN.mining_warmup_mode (semihard warm start before hard mining
+        — the collapse-free staging recipe, docs/BENCHMARKS.md "Config
+        2"); a pure function of the epoch so ``--resume_from`` lands in
+        the right stage with no extra checkpoint state."""
+        t = self.params.train
+        if self.mode == "triplet" and epoch < t.mining_warmup_epochs:
+            return t.mining_warmup_mode
+        return self.params.generator.negatives_selection_mode
+
+    def _build_steps(self, mining_mode: Optional[str] = None):
         g = self.params.generator
         m = self.params.model
+        self._mining_mode = mining_mode or self._mining_mode_for_epoch(0)
         reg_rules = optim.reg_rules_for(m.backbone_name)
         donate = (0,) if self.params.performance.donate_state else ()
         if self.mode == "siamese":
@@ -265,7 +278,7 @@ class Trainer:
                          "docs/MINING.md); ignoring")
             train_step = steps.make_triplet_train_step(
                 self.module, self.optimizer, margin=g.margin,
-                mode=g.negatives_selection_mode,
+                mode=self._mining_mode,
                 augment_fn=self.augment_fn, reg_rules=reg_rules,
                 compute_dtype=self.compute_dtype,
                 remat=self.params.performance.remat,
@@ -431,7 +444,7 @@ class Trainer:
         # lax.cond fallback and are safe on any layout
         from embeddingnet_tpu.ops.mining import FAST_MODES
         armed = (self.mode == "triplet" and k >= 2
-                 and g.negatives_selection_mode not in FAST_MODES)
+                 and self._mining_mode not in FAST_MODES)
         first = True
         for batch in loader:
             if first and armed:
@@ -528,6 +541,17 @@ class Trainer:
         profile_dir = _os.environ.get("EMBEDDINGNET_PROFILE")
         for epoch in range(self.start_epoch, n_epochs):
             self._current_epoch = epoch   # epoch-distinct sampler seeds
+            want_mode = self._mining_mode_for_epoch(epoch)
+            if want_mode != self._mining_mode:
+                # staged mining (TRAIN.mining_warmup_epochs): rebuild the
+                # jitted step for the new selection mode — one extra
+                # compile at the stage boundary, params/opt state carry
+                # over untouched
+                self.log(f"epoch {epoch}: mining mode "
+                         f"{self._mining_mode} -> {want_mode} "
+                         f"(TRAIN.mining_warmup_epochs="
+                         f"{self.params.train.mining_warmup_epochs})")
+                self._build_steps(mining_mode=want_mode)
             if profile_dir and epoch == self.start_epoch:
                 # jax.profiler trace of the first epoch -> TensorBoard /
                 # Perfetto (SURVEY.md §5 tracing subsystem)

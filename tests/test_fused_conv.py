@@ -113,6 +113,7 @@ def test_eligibility_gate():
     assert not fc.eligible((16, 4, 4, 128), (1, 1, 128, 128))   # not 3x3
 
 
+@pytest.mark.slow
 def test_resnet50_fast_conv_parity():
     """The PERFORMANCE.pallas_conv flag must not change ResNet-50's
     function: identical params (the trees are interchangeable by
@@ -424,6 +425,7 @@ def test_bn_scale_bias_matches_batchnorm():
                                np.asarray(want_e), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_resnet18_fused_train_parity():
     """fast_conv on vs off for ResNet-18 in TRAIN mode at the headline
     64px geometry (stages at 4x4/2x2 with 256/512 channels take the

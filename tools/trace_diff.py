@@ -6,10 +6,10 @@ Loads the newest ``*.trace.json.gz`` under each dir (also accepts a
 direct path to one), sums durations on the TPU "XLA Ops" thread (the
 leaf per-op lane — the "Steps"/"XLA Modules" lanes nest over it and
 would double-count), buckets ops by their HLO base name, and prints the
-top buckets with the B-A delta. This is the tool behind the
-fused-conv post-mortem table in docs/BENCHMARKS.md ("end-to-end
-verdict"); the traces it compared are checked in at
-docs/traces/r3_conv_ab/.
+top buckets with the B-A delta. This is the tool behind the fused-conv
+post-mortem table in docs/BENCHMARKS.md ("End-to-end verdict (r4)"); the
+traces it compared are checked in at docs/traces/r3_conv_ab/
+(A=xla.trace.json.gz, B=pallas_bnfuse.trace.json.gz).
 """
 
 import collections
