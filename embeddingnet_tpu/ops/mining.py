@@ -675,8 +675,9 @@ def batch_all_rowblock_pk(sq: jnp.ndarray, neg_mask: jnp.ndarray,
     convention; a tie is a zero hinge either way.
 
     REQUIRES labels grouped in consecutive same-class blocks of
-    ``k_samples`` with no class split across blocks — callers guard with
-    ``lax.cond`` (see :func:`_batch_all_forward`).
+    ``k_samples`` with no class split across blocks — callers verify with
+    :func:`_pk_grouped` and NaN-poison the result on violation (see
+    :func:`_batch_all_forward`).
     """
     b = sq.shape[0]
     t_flat = _pk_block_diag_thresholds(sq, margin, k_samples)
@@ -704,16 +705,21 @@ def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
 
     b = labels.shape[0]
     k_samples = (max_positives + 1) if max_positives is not None else None
+    poison = None
     if k_samples and 1 < k_samples < b and b % k_samples == 0:
-        # runtime guard: grouped P-K layout -> the sort-free compare-
-        # reduce path; anything else falls back to the full rowblock
+        # Passing max_positives ASSERTS the grouped P-K layout (same
+        # convention as the parity modes above): the sort-free compare-
+        # reduce path runs unconditionally and a violating batch poisons
+        # loss/grad/stats with NaN. The previous lax.cond fallback to the
+        # full rowblock cost ~0.8 ms/step at B=1024 on v5e (the cond is
+        # an opaque fusion barrier to XLA — per-op trace r4,
+        # docs/BENCHMARKS.md) and the Trainer already converts the poison
+        # into a named host-side error on the first batch of every epoch
+        # (train/loop.py:_check_pk_layout).
         fits = _pk_grouped(labels, k_samples)
-        pair_sum, k, m = jax.lax.cond(
-            fits,
-            lambda args: batch_all_rowblock_pk(args[0], args[2], margin,
-                                               k_samples),
-            lambda args: batch_all_rowblock(*args, margin),
-            (sq, pos_mask, neg_mask))
+        poison = jnp.where(fits, 1.0, jnp.nan)
+        pair_sum, k, m = batch_all_rowblock_pk(sq, neg_mask, margin,
+                                               k_samples)
     else:
         pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask, margin)
 
@@ -727,6 +733,17 @@ def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
         jnp.sum(pos_mask, axis=1) * jnp.sum(neg_mask, axis=1))
     stats = _stats(dist, pos_mask, neg_mask, active.astype(jnp.int32),
                    n_candidates)
+    if poison is not None:
+        # poison the logged stats too (parity-mode convention above): a
+        # layout violation must show up in the same step's metrics
+        loss = loss * poison
+        w = w * poison
+        stats = MiningStats(
+            n_triplets=jnp.where(fits, stats.n_triplets, -1),
+            n_candidates=jnp.where(fits, stats.n_candidates, -1),
+            frac_mined=stats.frac_mined * poison,
+            mean_pos_dist=stats.mean_pos_dist * poison,
+            mean_neg_dist=stats.mean_neg_dist * poison)
     return loss, stats, w
 
 
@@ -782,8 +799,10 @@ def batch_all_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
     oracle in ``tests/test_mining.py``.
     """
     # max_positives (P-K batches: k_samples - 1) enables the sort-free
-    # grouped-P-K compare-reduce path (61 ms -> 9.4 ms at B=4096) with a
-    # runtime fallback to the full rowblock for non-P-K labels.
+    # grouped-P-K compare-reduce path (61 ms -> 9.4 ms at B=4096) and
+    # ASSERTS the grouped layout — a violating batch NaN-poisons the
+    # result (parity-mode convention; the Trainer's host-side
+    # _check_pk_layout turns this into a named error).
     return _batch_all_custom(embeddings.astype(jnp.float32), labels,
                              margin, max_positives)
 

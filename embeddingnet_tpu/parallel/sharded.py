@@ -57,10 +57,10 @@ def sharded_batch_all_loss(mesh: Mesh, *, margin: float = 0.5,
 
     ``max_positives`` (= k_samples - 1 for P-K batches) enables the
     sort-free compare-reduce counting (``ops.mining.batch_all_rowblock_pk``,
-    61 ms -> 9.4 ms at B=4096 single-chip) when every shard's rows are
-    whole same-class groups — runtime-guarded with a psum'd predicate so
-    all shards take the same branch, falling back to the rowblock sorts
-    otherwise.
+    61 ms -> 9.4 ms at B=4096 single-chip) and ASSERTS that every shard's
+    rows are whole same-class groups: a psum'd predicate NaN-poisons the
+    result on violation (r4 — same convention as the single-device path;
+    the former lax.cond fallback was a fusion barrier).
     """
 
     def _local_counts(emb_local, labels_local):
@@ -82,27 +82,25 @@ def sharded_batch_all_loss(mesh: Mesh, *, margin: float = 0.5,
         kk = (max_positives + 1) if max_positives is not None else None
         if kk and 1 < kk < b_local and b_local % kk == 0:
             # grouped P-K with groups whole within this shard; AND the
-            # predicate across shards so every device takes one branch
+            # predicate across shards so every device agrees. As in the
+            # single-device path (ops/mining.py, r4), max_positives
+            # ASSERTS the layout: the P-K path runs unconditionally and a
+            # violating batch NaN-poisons the counts (the former lax.cond
+            # fallback was a fusion barrier costing ~0.8 ms/step at
+            # B=1024 single-chip; the Trainer guards the layout host-side)
             blocks = labels_local.reshape(b_local // kk, kk)
             local_ok = (jnp.all(blocks == blocks[:, :1])
                         & jnp.all(jnp.sum(pos_mask, axis=1) == kk - 1))
             all_ok = jax.lax.psum((~local_ok).astype(jnp.int32), axis) == 0
+            poison = jnp.where(all_ok, 1.0, jnp.nan).astype(sq.dtype)
 
-            def pk_path(args):
-                sq_, neg_ = args
-                sq_local = jax.lax.dynamic_slice(
-                    sq_, (0, row0), (b_local, b_local))
-                t_flat = _pk_block_diag_thresholds(sq_local, margin, kk)
-                pair_sum, k_t, m = _pk_counts(sq_, neg_, t_flat)
-                return (_pk_place_grouped(pair_sum, kk, b, row0),
-                        _pk_place_grouped(k_t, kk, b, row0), m)
-
-            def full_path(args):
-                sq_, neg_ = args
-                return batch_all_rowblock(sq_, pos_mask, neg_, margin)
-
-            pair_sum, k, m = jax.lax.cond(all_ok, pk_path, full_path,
-                                          (sq, neg_mask))
+            sq_local = jax.lax.dynamic_slice(
+                sq, (0, row0), (b_local, b_local))
+            t_flat = _pk_block_diag_thresholds(sq_local, margin, kk)
+            pair_sum, k, m = _pk_counts(sq, neg_mask, t_flat)
+            pair_sum = _pk_place_grouped(pair_sum, kk, b, row0) * poison
+            k = _pk_place_grouped(k, kk, b, row0) * poison
+            m = m * poison
         else:
             pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask,
                                                 margin)

@@ -283,8 +283,10 @@ class Trainer:
                 compute_dtype=self.compute_dtype,
                 remat=self.params.performance.remat,
                 # P-K batches bound positives per anchor; enables the
-                # compare-reduce fast paths (batch-all: guarded fallback;
-                # parity modes: asserted layout — PKSampler guarantees it).
+                # compare-reduce fast paths. All modes ASSERT the grouped
+                # layout when armed (r4: batch-all dropped its lax.cond
+                # fallback too) — PKSampler guarantees it and
+                # _check_pk_layout guards custom loaders host-side.
                 # k_samples=1 has no positives: claim nothing.
                 max_positives=(g.k_samples - 1 if g.k_samples >= 2
                                else None))
@@ -440,11 +442,12 @@ class Trainer:
         """
         g = self.params.generator
         k = g.k_samples
-        # only the parity modes poison; batch_all/batch_hard carry a
-        # lax.cond fallback and are safe on any layout
-        from embeddingnet_tpu.ops.mining import FAST_MODES
+        # parity modes and batch_all poison when k_samples is armed (r4:
+        # batch_all dropped its lax.cond fallback — the cond was a
+        # ~0.8 ms/step fusion barrier); batch_hard ignores k_samples and
+        # is safe on any layout
         armed = (self.mode == "triplet" and k >= 2
-                 and self._mining_mode not in FAST_MODES)
+                 and self._mining_mode != "batch_hard")
         first = True
         for batch in loader:
             if first and armed:

@@ -185,13 +185,19 @@ def test_batch_all_compressed_matches_full(rng_np, k_classes, k_samples):
                                rtol=1e-4, atol=1e-6)
 
 
-def test_batch_all_compressed_fallback_on_violation(rng_np):
-    """Labels with more positives than max_positives trigger the runtime
-    fallback to the full path (still exact)."""
+def test_batch_all_compressed_poisons_on_violation(rng_np):
+    """max_positives ASSERTS the grouped P-K layout (parity-mode
+    convention, r4): a violating batch NaN-poisons loss/grad/stats
+    instead of silently using wrong block-diagonal thresholds. (The
+    previous lax.cond fallback cost ~0.8 ms/step at B=1024 — the cond is
+    a fusion barrier; the Trainer guards the layout host-side.)"""
     emb, labels = make_batch(rng_np, k_classes=4, k_samples=6)
-    # claim max_positives=2 but rows have 5 positives -> cond -> full path
-    comp, _ = mining.batch_all_loss(jnp.array(emb), jnp.array(labels),
-                                    margin=0.5, max_positives=2)
-    full, _ = mining.batch_all_loss(jnp.array(emb), jnp.array(labels),
-                                    margin=0.5)
-    np.testing.assert_allclose(float(comp), float(full), rtol=1e-5)
+    # claim max_positives=2 but rows have 5 positives -> poison
+    comp, stats = mining.batch_all_loss(jnp.array(emb), jnp.array(labels),
+                                        margin=0.5, max_positives=2)
+    assert np.isnan(float(comp))
+    assert int(stats.n_triplets) == -1
+    g = jax.grad(lambda e: mining.batch_all_loss(
+        e, jnp.array(labels), margin=0.5, max_positives=2)[0])(
+            jnp.array(emb))
+    assert np.all(np.isnan(np.asarray(g)))

@@ -166,18 +166,17 @@ def test_sharded_batch_all_pk_matches_single_device(mesh):
                                rtol=1e-4, atol=1e-6)
 
 
-def test_sharded_batch_all_pk_fallback_on_ungrouped(mesh):
-    """Shuffled (non-grouped) labels: the psum'd predicate routes every
-    shard to the rowblock fallback — still exact."""
+def test_sharded_batch_all_pk_poisons_on_ungrouped(mesh):
+    """Shuffled (non-grouped) labels: the psum'd predicate NaN-poisons
+    the loss on every shard (r4 — max_positives asserts the layout; the
+    former per-shard lax.cond fallback was a fusion barrier)."""
     emb, labels = make_batch(k_classes=16, k_samples=4)
     perm = np.random.default_rng(3).permutation(len(labels))
     emb = emb[perm]
     labels = labels[perm]
     fn = jax.jit(sharded_batch_all_loss(mesh, margin=0.5, max_positives=3))
     loss_sharded, _ = fn(emb, labels)
-    loss_single, _ = mining.batch_all_loss(emb, labels, margin=0.5)
-    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
-                               rtol=1e-5)
+    assert np.isnan(float(loss_sharded))
 
 
 def test_sharded_knn_matches_single_device(mesh):
