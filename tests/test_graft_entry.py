@@ -44,6 +44,7 @@ def test_dryrun_multichip_bootstraps_from_single_device_parent():
     assert "dryrun_multichip(4): step ok" in proc.stdout
 
 
+@pytest.mark.slow  # 40-140s compile on the quick-loop box; full suite only
 def test_dryrun_multichip_inline_on_virtual_mesh():
     """Under the test conftest (8 CPU devices) the inline path is taken."""
     import __graft_entry__

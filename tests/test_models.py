@@ -24,7 +24,7 @@ def init_module(name, input_shape=(96, 96, 3), encodings_len=64, **kw):
     ("simple2", (48, 48, 3)),
     ("resnet18", (64, 64, 3)),
     ("resnet50", (64, 64, 3)),
-    ("efficientnet-b0", (64, 64, 3)),
+    pytest.param("efficientnet-b0", (64, 64, 3), marks=pytest.mark.slow),
 ])
 def test_backbone_embedding_shape(name, input_shape):
     mod, variables, x = init_module(name, input_shape)
@@ -179,9 +179,15 @@ import pytest as _pytest
 
 
 @_pytest.mark.parametrize("backbone,px", [
-    ("densenet121", 32), ("vgg16", 32), ("mobilenet", 32),
-    ("seresnext50", 32), ("senet154", 32), ("inceptionv3", 96),
-    ("inceptionresnetv2", 96), ("xception", 64), ("nasnetmobile", 32),
+    # 35-130s compiles each on the quick-loop box -> full suite only.
+    _pytest.param("densenet121", 32, marks=_pytest.mark.slow),
+    ("vgg16", 32), ("mobilenet", 32),
+    ("seresnext50", 32),
+    _pytest.param("senet154", 32, marks=_pytest.mark.slow),
+    _pytest.param("inceptionv3", 96, marks=_pytest.mark.slow),
+    _pytest.param("inceptionresnetv2", 96, marks=_pytest.mark.slow),
+    ("xception", 64),
+    _pytest.param("nasnetmobile", 32, marks=_pytest.mark.slow),
 ])
 def test_new_zoo_backbones_forward(backbone, px):
     """Zoo registry entries build and encode (reference zoo surface,

@@ -5,6 +5,7 @@ A 4-stage pipeline over the virtual mesh must be numerically identical
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ def _sequential(block, params_list, x):
     return x
 
 
+@pytest.mark.slow  # 40-140s compile on the quick-loop box; full suite only
 def test_pipeline_matches_sequential_fwd_and_grad():
     mesh = build_mesh(data=2, model=4)
     block, params_list, x = _blocks_and_input()

@@ -31,7 +31,22 @@ _SIZES = {
 }
 
 
-@pytest.mark.parametrize("name", list_backbones())
+# Heavy-compile names (30-90s each on the 1-CPU mesh box) run only in the
+# full suite; the quick loop keeps one cheap representative per family.
+_HEAVY = {
+    "nasnetlarge", "nasnetmobile", "vit-l14", "clip-vit-b16", "clip-vit-b32",
+    "efficientnet-b2", "efficientnet-b3", "efficientnet-b4", "efficientnet-b5",
+    "efficientnet-b6", "efficientnet-b7", "densenet169", "densenet201",
+    "densenet121", "senet154", "seresnext101", "resnext101", "seresnet101",
+    "seresnet152", "resnet101", "resnet152", "inceptionv3",
+    "inceptionresnetv2", "xception", "vgg19", "seresnext50",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _HEAVY else n
+     for n in list_backbones()])
 def test_backbone_constructs_and_forwards(name):
     size = _SIZES.get(name, 48)
     module = EmbeddingModule(backbone_name=name, encodings_len=16,

@@ -54,6 +54,7 @@ def test_mining_warmup_switches_mode_mid_run(tmp_path, tiny_dataset):
     assert any("mining mode semihard -> batch_hard" in l for l in logs)
 
 
+@pytest.mark.slow  # 40-140s compile on the quick-loop box; full suite only
 def test_mining_warmup_resume_lands_in_right_stage(tmp_path, tiny_dataset):
     """The active mode is a pure function of the epoch: a resume past the
     warmup boundary must build the main mode, not replay the warmup."""

@@ -115,6 +115,7 @@ def test_uneven_mesh_raises():
         build_mesh(data=-1, model=3)  # 8 % 3 != 0
 
 
+@pytest.mark.slow  # 40-140s compile on the quick-loop box; full suite only
 def test_trainer_with_mesh_config(tmp_path, tiny_dataset):
     """Trainer end-to-end with MESH.data=8: batches sharded over the
     virtual mesh, GSPMD train step."""

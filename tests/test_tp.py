@@ -120,6 +120,7 @@ def test_tp_shardings_safe_noop_for_convs():
         assert leaf.spec == P()
 
 
+@pytest.mark.slow  # 40-140s compile on the quick-loop box; full suite only
 def test_trainer_runs_with_model_axis(tmp_path, tiny_dataset):
     """Trainer wiring: MESH.model=2 trains a CNN config end to end (TP
     rules match nothing -> replicated), proving the config path."""

@@ -59,6 +59,7 @@ def test_triplet_end_to_end(tmp_path, tiny_dataset, loader):
     assert trainer.ckpt_mgr.latest_epoch() is not None
 
 
+@pytest.mark.slow  # 40-140s compile on the quick-loop box; full suite only
 def test_triplet_resume(tmp_path, tiny_dataset, loader):
     params = make_params(tmp_path, tiny_dataset)
     t1 = Trainer(params, loader, log_fn=lambda *a: None)
