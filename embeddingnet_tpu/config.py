@@ -324,6 +324,15 @@ class PerformanceConfig(_SectionBase):
     # Double-buffered host->device transfer: enqueue batch N+1's async
     # device_put while step N computes (train/loop.py:_device_prefetch).
     device_prefetch: bool = True
+    # Store the train state's small f32 leaves (BN scale/bias/stats +
+    # their optimizer moments) as contiguous flat vectors between steps
+    # so XLA memory-space-assignment stages a few large buffers instead
+    # of hundreds of tiny ones (train/packing.py). Exact — pure layout
+    # change, bit-identical steps (tests/test_packing.py); measured
+    # +0.33 ms/step on the headline (tools/perf_probe8.py,
+    # docs/BENCHMARKS.md). Applies to single-device training; mesh paths
+    # keep the plain pytree layout (shardings attach to leaves).
+    param_packing: bool = True
     # In-RAM cache of decoded+resized uint8 images, in megabytes (0 =
     # off). Exact: augmentation draws fresh RNG on device, so cached
     # pixels equal a re-decode. Sized for the dataset at input_shape

@@ -293,6 +293,7 @@ class Trainer:
             eval_step = steps.make_triplet_eval_step(
                 self.module, margin=g.margin,
                 compute_dtype=self.compute_dtype)
+        self._packer = None
         if self.mesh is not None:
             # GSPMD over the mesh: batch args sharded on 'data'; with
             # MESH.model > 1 parameters additionally shard over 'model'
@@ -314,6 +315,18 @@ class Trainer:
             self.eval_step = (jax.jit(eval_step)
                               if eval_step is not None else None)
         else:
+            if self.params.performance.param_packing:
+                # single-device: fuse the state's small f32 leaves into
+                # flat buffers between steps (train/packing.py; +0.33
+                # ms/step on the headline, bit-identical numerics).
+                # self.state stays in the ordinary layout at rest — the
+                # epoch loop packs on entry and unpacks on exit, so
+                # eval/checkpoint/export always see plain pytrees.
+                from embeddingnet_tpu.train.packing import StatePacker
+                self._packer = StatePacker(self.state)
+                self._pack_jit = jax.jit(self._packer.pack_state)
+                self._unpack_jit = jax.jit(self._packer.unpack_state)
+                train_step = self._packer.wrap_step(train_step)
             self.train_step = jax.jit(train_step, donate_argnums=donate)
             self.eval_step = (jax.jit(eval_step)
                               if eval_step is not None else None)
@@ -473,18 +486,29 @@ class Trainer:
         totals_dev, count = None, 0
         images_seen = 0
         t0 = time.perf_counter()
-        for batch in self._device_prefetch(
-                self._check_pk_layout(self._train_loader())):
-            self.state, metrics = self._dispatch_train(batch)
-            # accumulate ON DEVICE: a per-step float() sync would add a
-            # host round-trip per step and serialize decode with compute;
-            # a bounded periodic sync keeps the dispatch queue shallow
-            totals_dev = metrics if totals_dev is None else \
-                jax.tree_util.tree_map(jnp.add, totals_dev, metrics)
-            count += 1
-            images_seen += self._batch_images(batch)
-            if count % 32 == 0:
-                float(totals_dev["loss"])
+        if self._packer is not None:
+            # packed layout for the hot loop only; everything outside
+            # (eval, checkpoints, export, callbacks) sees plain pytrees —
+            # the finally guarantees that even when the loop raises
+            # (e.g. the P-K layout guard)
+            self.state = self._pack_jit(self.state)
+        try:
+            for batch in self._device_prefetch(
+                    self._check_pk_layout(self._train_loader())):
+                self.state, metrics = self._dispatch_train(batch)
+                # accumulate ON DEVICE: a per-step float() sync would add
+                # a host round-trip per step and serialize decode with
+                # compute; a bounded periodic sync keeps the dispatch
+                # queue shallow
+                totals_dev = metrics if totals_dev is None else \
+                    jax.tree_util.tree_map(jnp.add, totals_dev, metrics)
+                count += 1
+                images_seen += self._batch_images(batch)
+                if count % 32 == 0:
+                    float(totals_dev["loss"])
+        finally:
+            if self._packer is not None:
+                self.state = self._unpack_jit(self.state)
         elapsed = time.perf_counter() - t0
         out = {k: float(v) / max(count, 1)
                for k, v in (totals_dev or {}).items()}
