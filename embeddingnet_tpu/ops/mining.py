@@ -696,17 +696,64 @@ def _pk_grouped(labels: jnp.ndarray, k_samples: int) -> jnp.ndarray:
     return grouped & jnp.all(pos_counts == k_samples - 1)
 
 
+def _pk_is_fast_path(b: int, max_positives) -> bool:
+    """Static predicate shared by the custom-VJP fwd/bwd: the grouped
+    P-K compare-reduce path applies (vs the generic rowblock sort)."""
+    k_samples = (max_positives + 1) if max_positives is not None else None
+    return bool(k_samples and 1 < k_samples < b and b % k_samples == 0)
+
+
+def _pk_group_thresholds(embeddings: jnp.ndarray, margin: float,
+                         k_samples: int) -> jnp.ndarray:
+    """[B, K] per-anchor positive thresholds ``sq(a, p) + margin`` for a
+    grouped P-K batch, computed block-wise from the embeddings.
+
+    Replaces the old ``sq.reshape(g, kk, g, kk)`` + eye-einsum
+    extraction: on TPU that reshape physically re-tiles the [B, B]
+    distance matrix into 8-wide minor dims (vs the native (8, 128)
+    tiles), and the probe-9 trace attributes ~3.2 ms of the 7.4 ms
+    B=4096 kernel to those two ops. A batched [g, K, D] x [g, D, K]
+    Gram matmul touches only the 4 MB of embeddings (the
+    ``reshape(g, kk, d)`` splits the MAJOR dim — no re-tile) and matches
+    :func:`pairwise_sq_l2`'s |a|^2+|b|^2-2ab form, HIGHEST-precision
+    matmul and >= 0 clamp. Last-ulp differences vs the big-matrix
+    extraction only move exact-tie (zero-hinge) triplets between the
+    counted/uncounted sets — either subgradient convention is valid
+    (see :func:`batch_all_rowblock`).
+    """
+    b, d = embeddings.shape
+    kk = k_samples
+    g = b // kk
+    eg = embeddings.reshape(g, kk, d).astype(jnp.float32)
+    gram = jnp.einsum("gid,gjd->gij", eg, eg,
+                      precision=jax.lax.Precision.HIGHEST)
+    n = jnp.sum(jnp.square(eg), axis=-1)
+    d2 = jnp.maximum(n[:, :, None] + n[:, None, :] - 2.0 * gram, 0.0)
+    eye = jnp.eye(kk, dtype=bool)
+    t = jnp.where(eye[None], -jnp.inf, d2 + margin)
+    return t.reshape(b, kk)
+
+
 def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
                        margin: float, max_positives=None):
-    """Forward + the analytic weight matrix W (see custom VJP below)."""
+    """Forward + the analytic-backward residuals (see custom VJP below).
+
+    Returns ``(loss, stats, bwd_res)`` where ``bwd_res`` is
+    ``(emb, k [B,K], m [B,B], denom, poison)`` on the grouped P-K fast
+    path (the gradient is reconstructed from block-diagonal + dense
+    matmuls — the [B, B] weight matrix W is never materialized) and
+    ``(emb, w [B,B])`` on the generic rowblock-sort path.
+    """
     sq = pairwise_sq_l2(embeddings)
     dist = jnp.sqrt(sq)
     pos_mask, neg_mask = _masks(labels)
 
     b = labels.shape[0]
     k_samples = (max_positives + 1) if max_positives is not None else None
-    poison = None
-    if k_samples and 1 < k_samples < b and b % k_samples == 0:
+    n_candidates = jnp.sum(
+        jnp.sum(pos_mask, axis=1) * jnp.sum(neg_mask, axis=1))
+
+    if _pk_is_fast_path(b, max_positives):
         # Passing max_positives ASSERTS the grouped P-K layout (same
         # convention as the parity modes above): the sort-free compare-
         # reduce path runs unconditionally and a violating batch poisons
@@ -718,33 +765,35 @@ def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
         # (train/loop.py:_check_pk_layout).
         fits = _pk_grouped(labels, k_samples)
         poison = jnp.where(fits, 1.0, jnp.nan)
-        pair_sum, k, m = batch_all_rowblock_pk(sq, neg_mask, margin,
-                                               k_samples)
-    else:
-        pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask, margin)
-
-    active = jnp.sum(k)
-    loss = jnp.sum(pair_sum) / jnp.maximum(active, 1.0)
-
-    denom = jnp.maximum(active, 1.0)
-    w = (k * pos_mask - m * neg_mask) / denom
-
-    n_candidates = jnp.sum(
-        jnp.sum(pos_mask, axis=1) * jnp.sum(neg_mask, axis=1))
-    stats = _stats(dist, pos_mask, neg_mask, active.astype(jnp.int32),
-                   n_candidates)
-    if poison is not None:
+        t_flat = _pk_group_thresholds(embeddings, margin, k_samples)
+        pair_sum, k, m = _pk_counts(sq, neg_mask, t_flat)  # [B,K] x2, [B,B]
+        # loss needs only the SUMS — the old block-diagonal placement of
+        # pair_sum/k back to [B, B] re-tiled 134 MB per step for nothing
+        # (probe-9 trace: the other ~2.9 ms of the kernel)
+        active = jnp.sum(k)
+        denom = jnp.maximum(active, 1.0)
+        loss = (jnp.sum(pair_sum) / denom) * poison
+        stats = _stats(dist, pos_mask, neg_mask, active.astype(jnp.int32),
+                       n_candidates)
         # poison the logged stats too (parity-mode convention above): a
         # layout violation must show up in the same step's metrics
-        loss = loss * poison
-        w = w * poison
         stats = MiningStats(
             n_triplets=jnp.where(fits, stats.n_triplets, -1),
             n_candidates=jnp.where(fits, stats.n_candidates, -1),
             frac_mined=stats.frac_mined * poison,
             mean_pos_dist=stats.mean_pos_dist * poison,
             mean_neg_dist=stats.mean_neg_dist * poison)
-    return loss, stats, w
+        emb32 = embeddings.astype(jnp.float32)
+        return loss, stats, (emb32, k, m, denom, poison)
+
+    pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask, margin)
+    active = jnp.sum(k)
+    denom = jnp.maximum(active, 1.0)
+    loss = jnp.sum(pair_sum) / denom
+    w = (k * pos_mask - m * neg_mask) / denom
+    stats = _stats(dist, pos_mask, neg_mask, active.astype(jnp.int32),
+                   n_candidates)
+    return loss, stats, (embeddings.astype(jnp.float32), w)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -755,9 +804,9 @@ def _batch_all_custom(embeddings, labels, margin, max_positives):
 
 
 def _batch_all_fwd(embeddings, labels, margin, max_positives):
-    loss, stats, w = _batch_all_forward(embeddings, labels, margin,
-                                        max_positives)
-    return (loss, stats), (embeddings.astype(jnp.float32), w)
+    loss, stats, bwd_res = _batch_all_forward(embeddings, labels, margin,
+                                              max_positives)
+    return (loss, stats), bwd_res
 
 
 def _batch_all_bwd(margin, max_positives, residuals, cotangents):
@@ -766,10 +815,42 @@ def _batch_all_bwd(margin, max_positives, residuals, cotangents):
 
         dL/de = 2 * (rowsum(S) * e - S @ e)
 
-    — one [B,B]x[B,D] matmul on the MXU instead of autodiff through
-    sort/scatter (which costs ~140 ms at B=1024 on TPU; this costs ~1 ms).
+    — MXU matmuls instead of autodiff through sort/scatter (which costs
+    ~140 ms at B=1024 on TPU; this costs ~1 ms).
+
+    On the grouped P-K path ``W = (Kbd - M) / denom`` splits into a
+    block-diagonal positive part (per-pair active counts ``k``) and a
+    dense negative part (per-negative dual counts ``m``), so ``S @ e``
+    is two tiny [g, K, K] x [g, K, D] batched matmuls plus
+    ``M @ e + M^T @ e`` — W (and its 67 MB transpose copy at B=4096) is
+    never materialized; the transposed product contracts over the first
+    axis via dot_general, no physical transpose.
     """
     g_loss, _g_stats = cotangents
+    emb = residuals[0]
+    b = emb.shape[0]
+    if _pk_is_fast_path(b, max_positives):
+        emb, k, m, denom, poison = residuals
+        kk = max_positives + 1
+        g = b // kk
+        eg = emb.reshape(g, kk, -1)
+        k_blk = k.reshape(g, kk, kk)
+        # block-diagonal positive part: Kbd @ e and Kbd^T @ e
+        pos_mv = (jnp.einsum("gij,gjd->gid", k_blk, eg)
+                  + jnp.einsum("gji,gjd->gid", k_blk, eg)
+                  ).reshape(b, -1)
+        pos_row = (jnp.sum(k_blk, axis=2)
+                   + jnp.sum(k_blk, axis=1)).reshape(b)
+        # dense negative part: M @ e and M^T @ e
+        neg_mv = (jnp.matmul(m, emb, preferred_element_type=jnp.float32)
+                  + jnp.einsum("ab,ad->bd", m, emb,
+                               preferred_element_type=jnp.float32))
+        neg_row = jnp.sum(m, axis=1) + jnp.sum(m, axis=0)
+        s_e = (pos_mv - neg_mv) / denom
+        s_row = (pos_row - neg_row) / denom
+        grad_e = 2.0 * (s_row[:, None] * emb - s_e) * poison
+        return (g_loss * grad_e, None)
+
     emb, w = residuals
     s = w + w.T
     row = jnp.sum(s, axis=1, keepdims=True)
