@@ -287,14 +287,40 @@ def _parity_forward_large(embeddings: jnp.ndarray, labels: jnp.ndarray,
     note for the relay constraint); callers that cannot guarantee the
     layout simply omit ``k_samples``.
     """
+    loss, stats, bwd_res, aux = _parity_forward_parts(
+        embeddings, labels, margin, mode, rng, k_samples)
+    if len(bwd_res) == 5:
+        # assemble the dense W for this test-facing contract; the
+        # production custom-VJP path consumes the structured parts
+        # directly (`_parity_forward_parts`) and XLA never builds W
+        _, active_f, w_neg, denom, poison = bwd_res
+        b = labels.shape[0]
+        w = ((_pk_place_grouped(active_f, k_samples, b) - w_neg)
+             / denom) * poison
+    else:
+        w = bwd_res[1]
+    return loss, stats, w, aux
+
+
+def _parity_forward_parts(embeddings: jnp.ndarray, labels: jnp.ndarray,
+                          margin: float, mode: str, rng: jax.Array,
+                          k_samples=None):
+    """Like :func:`_parity_forward_large` but returns the analytic
+    backward's residuals instead of the materialized W:
+    ``(emb, active_f [B,K], w_neg [B,B], denom, poison)`` on the grouped
+    P-K fast path (W reconstructed from structure in the VJP — see
+    :func:`_structured_w_grad`), ``(emb, w [B,B])`` on the dense path."""
     b = labels.shape[0]
     dist = pairwise_l2(embeddings)
     sq = pairwise_sq_l2(embeddings)
     pos_mask, neg_mask = _masks(labels)
+    emb32 = embeddings.astype(jnp.float32)
     if (k_samples and 1 < k_samples < b and b % k_samples == 0):
         fits = _pk_grouped(labels, k_samples)
-        loss, stats, w, aux = _parity_pk(dist, sq, pos_mask, neg_mask,
-                                         rng, margin, mode, k_samples)
+        d2_blk = _pk_group_sq(emb32, k_samples)
+        loss, stats, parts, aux = _parity_pk(dist, sq, pos_mask, neg_mask,
+                                             rng, margin, mode, k_samples,
+                                             d2_blk)
         poison = jnp.where(fits, 1.0, jnp.nan)
         # Poison the logged stats too: a layout violation must show up in
         # the same step's metrics (NaN frac/dists, n_triplets = -1), not
@@ -305,27 +331,36 @@ def _parity_forward_large(embeddings: jnp.ndarray, labels: jnp.ndarray,
             frac_mined=stats.frac_mined * poison,
             mean_pos_dist=stats.mean_pos_dist * poison,
             mean_neg_dist=stats.mean_neg_dist * poison)
-        return loss * poison, stats, w * poison, aux
-    return _parity_dense(dist, sq, pos_mask, neg_mask, rng, margin, mode)
+        active_f, w_neg, denom = parts
+        return (loss * poison, stats,
+                (emb32, active_f, w_neg, denom, poison), aux)
+    loss, stats, w, aux = _parity_dense(dist, sq, pos_mask, neg_mask, rng,
+                                        margin, mode)
+    return loss, stats, (emb32, w), aux
 
 
-def _parity_pk(dist, sq, pos_mask, neg_mask, rng, margin, mode, kk):
+def _parity_pk(dist, sq, pos_mask, neg_mask, rng, margin, mode, kk,
+               d2_blk):
     """P-K fast path of :func:`_parity_forward_large`: grouped batches put
     every anchor's positives in a static block-diagonal, so the rank-window
     bounds are [B, K] compare-reduces; one [B, B] negative sort remains for
-    the window fetch. Output contract (incl. the [B, B]-shaped aux) is
-    identical to :func:`_parity_dense` — ``lax.cond``-compatible."""
+    the window fetch. ``d2_blk [g, K, K]`` carries the within-group
+    squared distances computed block-wise from the embeddings
+    (:func:`_pk_group_sq` — the old in-place extraction re-tiled the
+    [B, B] matrix, see that docstring). Returns
+    ``(loss, stats, (active_f [B,K], w_neg [B,B], denom), aux)``; the
+    [B, B]-shaped aux matches :func:`_parity_dense` for the oracle
+    tests (dead code under the production custom VJP)."""
     b = dist.shape[0]
     g = b // kk
     f32 = jnp.float32
 
     # block-diagonal euclidean pair distances; unordered (a < p) pairs =
     # upper-triangular slots within each block (blocks are contiguous)
-    eye_g = jnp.eye(g, dtype=dist.dtype)
-    d_blk = jnp.einsum("gihj,gh->gij", dist.reshape(g, kk, g, kk), eye_g)
     slot_valid = (jnp.arange(kk)[:, None] < jnp.arange(kk)[None, :])
     pair_valid = jnp.tile(slot_valid, (g, 1))               # [B, K]
-    d_pair = jnp.where(pair_valid, d_blk.reshape(b, kk), -jnp.inf)
+    d_pair = jnp.where(pair_valid, jnp.sqrt(d2_blk).reshape(b, kk),
+                       -jnp.inf)
 
     neg_d = jnp.where(neg_mask, dist, jnp.inf)              # [B, B]
     has_neg = jnp.any(neg_mask, axis=1)
@@ -370,8 +405,7 @@ def _parity_pk(dist, sq, pos_mask, neg_mask, rng, margin, mode, kk):
         d_star, n_star = _fetch_at_rank(sorted_d, sorted_ids,
                                         jnp.where(selected, ranks, 0.0))
 
-    sq_blk = jnp.einsum("gihj,gh->gij", sq.reshape(g, kk, g, kk),
-                        eye_g).reshape(b, kk)
+    sq_blk = d2_blk.reshape(b, kk)
     sq_an = jnp.where(jnp.isfinite(d_star), d_star * d_star, jnp.inf)
     hinge = jnp.maximum(sq_blk - sq_an + margin, 0.0)
     n_sel = jnp.sum(selected)
@@ -380,11 +414,9 @@ def _parity_pk(dist, sq, pos_mask, neg_mask, rng, margin, mode, kk):
 
     active = selected & (hinge > 0.0)
     active_f = active.astype(f32)
-    w_pos = _pk_place_grouped(active_f, kk, b)
     w_neg = jnp.sum((n_star[:, :, None]
                      == jnp.arange(b)[None, None, :])
                     & active[:, :, None], axis=1).astype(f32)
-    w = (w_pos - w_neg) / denom
 
     stats = _stats(dist, pos_mask, neg_mask, n_sel,
                    jnp.sum(pair_valid.astype(jnp.int32)) * 1)
@@ -394,7 +426,7 @@ def _parity_pk(dist, sq, pos_mask, neg_mask, rng, margin, mode, kk):
            "n_star": place_i(n_star.astype(f32)).astype(jnp.int32),
            "k": place_i(k),
            "k_lo": place_i(k_lo) if mode == "semihard" else None}
-    return loss, stats, w, aux
+    return loss, stats, (active_f, w_neg, denom), aux
 
 
 def _parity_dense(dist, sq, pos_mask, neg_mask, rng, margin, mode):
@@ -460,22 +492,28 @@ def _parity_dense(dist, sq, pos_mask, neg_mask, rng, margin, mode):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _parity_large_custom(embeddings, labels, rng, margin, mode, k_samples):
-    loss, stats, _, _ = _parity_forward_large(embeddings, labels, margin,
+    loss, stats, _, _ = _parity_forward_parts(embeddings, labels, margin,
                                               mode, rng, k_samples)
     return loss, stats
 
 
 def _parity_large_fwd(embeddings, labels, rng, margin, mode, k_samples):
-    loss, stats, w, _ = _parity_forward_large(embeddings, labels, margin,
-                                              mode, rng, k_samples)
-    return (loss, stats), (embeddings.astype(jnp.float32), w)
+    loss, stats, bwd_res, _ = _parity_forward_parts(
+        embeddings, labels, margin, mode, rng, k_samples)
+    return (loss, stats), bwd_res
 
 
 def _parity_large_bwd(margin, mode, k_samples, residuals, cotangents):
     """Same piecewise-constant-W structure as the batch-all VJP:
     ``loss = sum(W * sq)`` + constants, so with ``S = W + W^T`` the
-    embedding gradient is one MXU matmul (see :func:`_batch_all_bwd`)."""
+    embedding gradient is MXU matmuls (see :func:`_batch_all_bwd`). On
+    the grouped P-K path W is reconstructed from its block/dense parts
+    (:func:`_structured_w_grad`) and never materialized."""
     g_loss, _ = cotangents
+    if len(residuals) == 5:
+        emb, active_f, w_neg, denom, poison = residuals
+        return (_structured_w_grad(emb, active_f, w_neg, denom, poison,
+                                   k_samples, g_loss), None, None)
     emb, w = residuals
     s = w + w.T
     row = jnp.sum(s, axis=1, keepdims=True)
@@ -703,17 +741,16 @@ def _pk_is_fast_path(b: int, max_positives) -> bool:
     return bool(k_samples and 1 < k_samples < b and b % k_samples == 0)
 
 
-def _pk_group_thresholds(embeddings: jnp.ndarray, margin: float,
-                         k_samples: int) -> jnp.ndarray:
-    """[B, K] per-anchor positive thresholds ``sq(a, p) + margin`` for a
-    grouped P-K batch, computed block-wise from the embeddings.
+def _pk_group_sq(embeddings: jnp.ndarray, k_samples: int) -> jnp.ndarray:
+    """[g, K, K] within-group squared L2 for a grouped P-K batch,
+    computed block-wise straight from the embeddings.
 
     Replaces the old ``sq.reshape(g, kk, g, kk)`` + eye-einsum
     extraction: on TPU that reshape physically re-tiles the [B, B]
     distance matrix into 8-wide minor dims (vs the native (8, 128)
     tiles), and the probe-9 trace attributes ~3.2 ms of the 7.4 ms
-    B=4096 kernel to those two ops. A batched [g, K, D] x [g, D, K]
-    Gram matmul touches only the 4 MB of embeddings (the
+    B=4096 batch-all kernel to those two ops. A batched [g, K, D] x
+    [g, D, K] Gram matmul touches only the 4 MB of embeddings (the
     ``reshape(g, kk, d)`` splits the MAJOR dim — no re-tile) and matches
     :func:`pairwise_sq_l2`'s |a|^2+|b|^2-2ab form, HIGHEST-precision
     matmul and >= 0 clamp. Last-ulp differences vs the big-matrix
@@ -728,10 +765,52 @@ def _pk_group_thresholds(embeddings: jnp.ndarray, margin: float,
     gram = jnp.einsum("gid,gjd->gij", eg, eg,
                       precision=jax.lax.Precision.HIGHEST)
     n = jnp.sum(jnp.square(eg), axis=-1)
-    d2 = jnp.maximum(n[:, :, None] + n[:, None, :] - 2.0 * gram, 0.0)
+    return jnp.maximum(n[:, :, None] + n[:, None, :] - 2.0 * gram, 0.0)
+
+
+def _pk_group_thresholds(embeddings: jnp.ndarray, margin: float,
+                         k_samples: int) -> jnp.ndarray:
+    """[B, K] per-anchor positive thresholds ``sq(a, p) + margin`` for a
+    grouped P-K batch (self = -inf); see :func:`_pk_group_sq`."""
+    b = embeddings.shape[0]
+    kk = k_samples
+    d2 = _pk_group_sq(embeddings, kk)
     eye = jnp.eye(kk, dtype=bool)
     t = jnp.where(eye[None], -jnp.inf, d2 + margin)
     return t.reshape(b, kk)
+
+
+def _structured_w_grad(emb: jnp.ndarray, k_flat: jnp.ndarray,
+                       m: jnp.ndarray, denom, poison, k_samples: int,
+                       g_loss):
+    """Embedding gradient for a block/dense-structured weight matrix
+    ``W = (Kbd - M) / denom`` without materializing W (see
+    :func:`_batch_all_bwd`): ``Kbd`` is the block-diagonal placement of
+    ``k_flat [B, K]`` (per-pair counts at the anchor's group slots), `M`
+    the dense [B, B] per-negative counts. With ``S = W + W^T``::
+
+        dL/de = 2 * (rowsum(S) * e - S @ e)
+
+    where ``S @ e`` is two [g, K, K] x [g, K, D] batched matmuls plus
+    ``M @ e + M^T @ e`` (the transposed product contracts over the
+    first axis via dot_general — no physical transpose, no 67 MB W
+    copy at B=4096).
+    """
+    b = emb.shape[0]
+    kk = k_samples
+    g = b // kk
+    eg = emb.reshape(g, kk, -1)
+    k_blk = k_flat.reshape(g, kk, kk)
+    pos_mv = (jnp.einsum("gij,gjd->gid", k_blk, eg)
+              + jnp.einsum("gji,gjd->gid", k_blk, eg)).reshape(b, -1)
+    pos_row = (jnp.sum(k_blk, axis=2) + jnp.sum(k_blk, axis=1)).reshape(b)
+    neg_mv = (jnp.matmul(m, emb, preferred_element_type=jnp.float32)
+              + jnp.einsum("ab,ad->bd", m, emb,
+                           preferred_element_type=jnp.float32))
+    neg_row = jnp.sum(m, axis=1) + jnp.sum(m, axis=0)
+    s_e = (pos_mv - neg_mv) / denom
+    s_row = (pos_row - neg_row) / denom
+    return g_loss * 2.0 * (s_row[:, None] * emb - s_e) * poison
 
 
 def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
@@ -831,25 +910,8 @@ def _batch_all_bwd(margin, max_positives, residuals, cotangents):
     b = emb.shape[0]
     if _pk_is_fast_path(b, max_positives):
         emb, k, m, denom, poison = residuals
-        kk = max_positives + 1
-        g = b // kk
-        eg = emb.reshape(g, kk, -1)
-        k_blk = k.reshape(g, kk, kk)
-        # block-diagonal positive part: Kbd @ e and Kbd^T @ e
-        pos_mv = (jnp.einsum("gij,gjd->gid", k_blk, eg)
-                  + jnp.einsum("gji,gjd->gid", k_blk, eg)
-                  ).reshape(b, -1)
-        pos_row = (jnp.sum(k_blk, axis=2)
-                   + jnp.sum(k_blk, axis=1)).reshape(b)
-        # dense negative part: M @ e and M^T @ e
-        neg_mv = (jnp.matmul(m, emb, preferred_element_type=jnp.float32)
-                  + jnp.einsum("ab,ad->bd", m, emb,
-                               preferred_element_type=jnp.float32))
-        neg_row = jnp.sum(m, axis=1) + jnp.sum(m, axis=0)
-        s_e = (pos_mv - neg_mv) / denom
-        s_row = (pos_row - neg_row) / denom
-        grad_e = 2.0 * (s_row[:, None] * emb - s_e) * poison
-        return (g_loss * grad_e, None)
+        return (_structured_w_grad(emb, k, m, denom, poison,
+                                   max_positives + 1, g_loss), None)
 
     emb, w = residuals
     s = w + w.T
