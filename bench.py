@@ -270,7 +270,8 @@ def bench_mining_gbs():
     """Supplementary metric (BASELINE.md): mining-kernel throughput at
     B=4096 — batch-all fwd+bwd (loss + exact gradient) on a grouped P-K
     batch, the production configuration. Reports the sort-free
-    compare-reduce path (ops.mining.batch_all_rowblock_pk) and the
+    compare-reduce path (ops.mining.batch_all_loss with max_positives,
+    reshape-free since r4 — docs/MINING.md) and the
     generic rowblock-sort fallback."""
     import jax
     import jax.numpy as jnp

@@ -660,22 +660,6 @@ def _pk_counts(sq: jnp.ndarray, neg_mask: jnp.ndarray,
     return pair_sum, k, m
 
 
-def _pk_block_diag_thresholds(sq_local: jnp.ndarray, margin: float,
-                              k_samples: int) -> jnp.ndarray:
-    """[R, R] within-shard distances -> [R, K] per-anchor thresholds
-    ``sq(a, p) + margin`` over the anchor's own group (self = -inf).
-    Gather-free block-diagonal extraction via a one-hot contraction."""
-    r = sq_local.shape[0]
-    kk = k_samples
-    g = r // kk
-    eye_g = jnp.eye(g, dtype=sq_local.dtype)
-    sq_blk = jnp.einsum("gihj,gh->gij", sq_local.reshape(g, kk, g, kk),
-                        eye_g)
-    eye_k = jnp.eye(kk, dtype=bool)
-    t = jnp.where(eye_k[None], -jnp.inf, sq_blk + margin)
-    return t.reshape(r, kk)
-
-
 def _pk_place_grouped(x: jnp.ndarray, k_samples: int, n_cols: int,
                       col0=0) -> jnp.ndarray:
     """Place per-threshold values [R, K] back to row-block coordinates
@@ -690,38 +674,6 @@ def _pk_place_grouped(x: jnp.ndarray, k_samples: int, n_cols: int,
         return local
     out = jnp.zeros((r, n_cols), x.dtype)
     return jax.lax.dynamic_update_slice(out, local, (0, col0))
-
-
-def batch_all_rowblock_pk(sq: jnp.ndarray, neg_mask: jnp.ndarray,
-                          margin: float, k_samples: int):
-    """Sort-free batch-all counting for GROUPED P-K batches.
-
-    When the batch is laid out as G groups of ``k_samples`` same-class
-    rows (exactly what :class:`data.samplers.PKSampler` emits), every
-    anchor's positive thresholds live in a STATIC block-diagonal of the
-    distance matrix — so the per-pair negative counts need no sort at
-    all, just compare-reduces against a [B, K] threshold matrix:
-
-        k[a, j]   = #{n : sq_an <= t[a, j]}     (count, reduce over n)
-        P[a, j]   = sum sq_an over that set     (value, reduce over n)
-        m[a, n]   = #{j : t[a, j] >= sq_an}     (dual, reduce over j)
-
-    One [B, B, K] compare tensor (K = k_samples, vs the rowblock sorts'
-    [B, 2B] merged sort + 4-operand un-sort) serves all three reductions
-    — measured 61 ms -> 9.4 ms fwd+bwd at B=4096 (docs/MINING.md). Tie
-    semantics (<=) match :func:`batch_all_rowblock`'s stable-sort
-    convention; a tie is a zero hinge either way.
-
-    REQUIRES labels grouped in consecutive same-class blocks of
-    ``k_samples`` with no class split across blocks — callers verify with
-    :func:`_pk_grouped` and NaN-poison the result on violation (see
-    :func:`_batch_all_forward`).
-    """
-    b = sq.shape[0]
-    t_flat = _pk_block_diag_thresholds(sq, margin, k_samples)
-    pair_sum, k, m = _pk_counts(sq, neg_mask, t_flat)
-    return (_pk_place_grouped(pair_sum, k_samples, b),
-            _pk_place_grouped(k, k_samples, b), m)
 
 
 def _pk_grouped(labels: jnp.ndarray, k_samples: int) -> jnp.ndarray:
