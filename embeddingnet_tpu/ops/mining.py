@@ -894,7 +894,7 @@ def batch_all_loss(embeddings: jnp.ndarray, labels: jnp.ndarray, *,
     oracle in ``tests/test_mining.py``.
     """
     # max_positives (P-K batches: k_samples - 1) enables the sort-free
-    # grouped-P-K compare-reduce path (61 ms -> 9.4 ms at B=4096) and
+    # grouped-P-K compare-reduce path (61 ms -> 2.7 ms at B=4096) and
     # ASSERTS the grouped layout — a violating batch NaN-poisons the
     # result (parity-mode convention; the Trainer's host-side
     # _check_pk_layout turns this into a named error).
