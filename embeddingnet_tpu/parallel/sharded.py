@@ -134,14 +134,26 @@ def sharded_batch_all_loss(mesh: Mesh, *, margin: float = 0.5,
         t_flat = _pk_group_thresholds(emb_local.astype(jnp.float32),
                                       margin, kk)
         pair_sum, k, m = _pk_counts(sq, neg_mask, t_flat)
+        active_clean = jax.lax.psum(jnp.sum(k), axis)
         pair_sum = pair_sum * poison                               # [bl, K]
         k = k * poison                                             # [bl, K]
         m = m * poison                                             # [bl, B]
 
         num = jax.lax.psum(jnp.sum(pair_sum), axis)
-        active = jax.lax.psum(jnp.sum(k), axis)
+        active = active_clean * poison
         loss = num / jnp.maximum(active, 1.0)
-        stats = _stats_psum(sq, pos_mask, neg_mask, active)
+        # Stats mirror the single-device sentinel convention (r5, ADVICE
+        # r4): integer counts -> -1 on violation, float stats -> NaN, so
+        # downstream metric logging sees one type/value per failure mode
+        # on both paths (ops/mining.py:329).
+        stats = _stats_psum(sq, pos_mask, neg_mask,
+                            jnp.where(all_ok, active_clean, -1.0))
+        stats = MiningStats(
+            n_triplets=stats.n_triplets,
+            n_candidates=jnp.where(all_ok, stats.n_candidates, -1),
+            frac_mined=stats.frac_mined * poison,
+            mean_pos_dist=stats.mean_pos_dist * poison,
+            mean_neg_dist=stats.mean_neg_dist * poison)
         return (loss, stats), (k, m, jnp.maximum(active, 1.0))
 
     @functools.partial(

@@ -442,16 +442,19 @@ class Trainer:
             yield prev
 
     def _check_pk_layout(self, loader):
-        """One-time host-side guard for the asserted-layout miner paths.
+        """Host-side guard for the asserted-layout miner paths — EVERY batch.
 
         With ``max_positives`` armed, `ops/mining.py` POISONS loss/grad/
         stats with NaN on a non-grouped batch instead of branching (the
         lax.cond fallback blew TPU compile time — docs/BENCHMARKS.md).
         PKSampler guarantees the layout; a custom loader might not, and
-        NaN-poisoning is the worst failure mode to debug. Checking the
-        first batch per epoch on host costs nothing (labels are a tiny
-        int array still host-resident here) and converts the poison into
-        an immediate, named error.
+        NaN-poisoning is the worst failure mode to debug. The check runs
+        on every batch (r5, ADVICE r4: a remainder batch late in a
+        custom loader's epoch used to slip past the old batch-0-only
+        guard) — it is O(B) on a tiny int array that is still
+        host-resident pre-prefetch: contiguous groups of k identical
+        labels + all group labels distinct ⟺ the miner's asserted
+        layout, no [B,B] comparison needed.
         """
         g = self.params.generator
         k = g.k_samples
@@ -461,16 +464,16 @@ class Trainer:
         # is safe on any layout
         armed = (self.mode == "triplet" and k >= 2
                  and self._mining_mode != "batch_hard")
-        first = True
         for batch in loader:
-            if first and armed:
+            if armed:
                 labels = np.asarray(batch[1])
                 b = labels.shape[0]
                 if 1 < k < b and b % k == 0:
                     blocks = labels.reshape(b // k, k)
                     grouped = bool(np.all(blocks == blocks[:, :1]))
-                    counts = (labels[:, None] == labels[None, :]).sum(1) - 1
-                    if not (grouped and bool(np.all(counts == k - 1))):
+                    heads = blocks[:, 0]
+                    distinct = len(np.unique(heads)) == heads.shape[0]
+                    if not (grouped and distinct):
                         raise ValueError(
                             "triplet train batch is not grouped P-K: with "
                             f"GENERATOR.k_samples={k} the miner asserts "
@@ -479,7 +482,6 @@ class Trainer:
                             "(PKSampler produces this). A custom loader "
                             "must either honor that layout or unset "
                             "k_samples (slower dense mining).")
-                first = False
             yield batch
 
     def _run_train_epoch(self) -> dict:

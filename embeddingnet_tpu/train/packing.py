@@ -60,6 +60,20 @@ class TreePacker:
     def n_packed(self) -> int:
         return len(self.small)
 
+    def compatible(self, tree) -> bool:
+        """True iff every leaf selected for packing matches the
+        dtype/shape metadata captured at init. Static (shape/dtype only)
+        — safe to call on tracers inside jit. Guards against a
+        params-shaped subtree with different leaf dtypes (e.g. a future
+        bf16 optimizer moment) being silently upcast to f32 through the
+        flat buffer (r5, ADVICE r4)."""
+        leaves = jtu.tree_flatten(tree)[0]
+        if len(leaves) != self.n:
+            return False
+        return all(leaves[i].dtype == jnp.float32
+                   and tuple(leaves[i].shape) == self.shapes[j]
+                   for j, i in enumerate(self.small))
+
     def pack(self, tree):
         leaves = jtu.tree_flatten(tree)[0]
         flat = (jnp.concatenate([leaves[i].reshape(-1) for i in self.small])
@@ -126,11 +140,18 @@ class StatePacker:
         return rec(tree)
 
     def pack_state(self, state):
+        # A params-shaped opt subtree whose leaf dtypes/shapes diverge
+        # from params (e.g. a bf16 moment) passes through unpacked — the
+        # unpack side only transforms subtrees matching the PACKED
+        # treedef, so an unfused subtree round-trips untouched.
+        def pack_if_compatible(sub):
+            return self.pp.pack(sub) if self.pp.compatible(sub) else sub
+
         return state.replace(
             params=self.pp.pack(state.params),
             opt_state=self._map_subtrees(state.opt_state,
                                          self._params_treedef,
-                                         self.pp.pack),
+                                         pack_if_compatible),
             batch_stats=self.bp.pack(state.batch_stats))
 
     def unpack_state(self, pstate):

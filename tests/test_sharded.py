@@ -176,8 +176,14 @@ def test_sharded_batch_all_pk_poisons_on_ungrouped(mesh):
     emb = emb[perm]
     labels = labels[perm]
     fn = jax.jit(sharded_batch_all_loss(mesh, margin=0.5, max_positives=3))
-    loss_sharded, _ = fn(emb, labels)
+    loss_sharded, stats = fn(emb, labels)
     assert np.isnan(float(loss_sharded))
+    # Sentinel convention mirrors the single-device path (r5, ADVICE r4):
+    # integer counts -> -1, float stats -> NaN (ops/mining.py:329).
+    assert float(stats.n_triplets) == -1.0
+    assert float(stats.n_candidates) == -1.0
+    assert np.isnan(float(stats.frac_mined))
+    assert np.isnan(float(stats.mean_pos_dist))
 
 
 def test_sharded_knn_matches_single_device(mesh):
