@@ -11,5 +11,6 @@ generator->model cycle (mining called ``predict`` from the data loader,
 
 from embeddingnet_tpu.data.index import ENDataLoader  # noqa: F401
 from embeddingnet_tpu.data.samplers import (  # noqa: F401
-    PKSampler, PairSampler, SimpleSampler, TripletSampler)
+    PKSampler, PairSampler, ProcessShardSampler, SimpleSampler,
+    TripletSampler)
 from embeddingnet_tpu.data.pipeline import BatchLoader, DecodeCache  # noqa: F401

@@ -152,6 +152,40 @@ class PairSampler(_SamplerBase):
             yield self.sample()
 
 
+class ProcessShardSampler:
+    """Per-process view of a global-batch sampler (multi-host feeding).
+
+    Every process wraps an identically-seeded sampler, so each draws the
+    IDENTICAL global batch; this wrapper yields only rows ``[lo, hi)`` —
+    the block ``parallel.mesh.process_row_block`` assigns to this
+    process.  Decode then touches only the local block, and
+    ``jax.make_array_from_process_local_data`` reassembles the exact
+    global batch the single-process run would see (parity asserted in
+    ``tests/test_multiprocess_train.py``).  The TPU-native analog of the
+    reference's per-replica batch split (``tools/train.py:121-140``).
+
+    ``global_check`` (optional) runs on every GLOBAL batch's labels
+    before slicing — the P-K layout guard must see the global layout the
+    miner asserts, not the local block (groups may straddle processes).
+    """
+
+    def __init__(self, sampler, lo: int, hi: int, global_check=None):
+        self.sampler = sampler
+        self.lo, self.hi = int(lo), int(hi)
+        self.global_check = global_check
+
+    def _slice(self, paths):
+        if isinstance(paths, tuple):
+            return tuple(p[self.lo:self.hi] for p in paths)
+        return paths[self.lo:self.hi]
+
+    def __iter__(self):
+        for paths, labels in self.sampler:
+            if self.global_check is not None:
+                self.global_check(labels)
+            yield self._slice(paths), labels[self.lo:self.hi]
+
+
 class SimpleSampler(_SamplerBase):
     """Uniform (image, class-id) batches for softmax pretraining
     (``datagenerators.py:396-415``)."""

@@ -63,3 +63,53 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def process_row_block(mesh: Mesh, global_batch: int):
+    """``[lo, hi)`` of the global batch's leading axis owned by THIS
+    process under :func:`batch_sharding`.
+
+    Multi-process feeding contract (the TPU-native analog of the
+    reference's per-GPU batch split inside MirroredStrategy,
+    ``tools/train.py:121-140``): every process samples the identical
+    global batch (same seeds), decodes only its block, and
+    ``jax.make_array_from_process_local_data`` assembles the global
+    array. That requires each process's rows to be one contiguous,
+    equal-sized block — true for meshes built by :func:`build_mesh`
+    from the global device enumeration; asserted here so an exotic
+    device order fails loudly instead of feeding permuted rows.
+    """
+    sh = batch_sharding(mesh)
+    spans = []
+    for idx in sh.addressable_devices_indices_map((global_batch,)).values():
+        s = idx[0]
+        spans.append((s.start or 0,
+                      global_batch if s.stop is None else s.stop))
+    spans.sort()
+    lo, hi = spans[0][0], max(h for _, h in spans)
+    cover = lo
+    for s, h in spans:
+        if s > cover:
+            raise ValueError(
+                f"process {jax.process_index()} owns non-contiguous batch "
+                f"rows {spans}; per-process feeding needs one block")
+        cover = max(cover, h)
+    if cover != hi:
+        raise ValueError(f"gap in process batch rows {spans}")
+    expect = global_batch // jax.process_count()
+    if hi - lo != expect:
+        raise ValueError(
+            f"process row block [{lo},{hi}) is not the equal "
+            f"{expect}-row share of global batch {global_batch}")
+    return lo, hi
+
+
+def put_process_local_batch(x_local: np.ndarray, mesh: Mesh,
+                            global_batch: int):
+    """Assemble a global device array from this process's local row block
+    (rows ``process_row_block(mesh, global_batch)`` of the logical global
+    batch), sharded over the ``data`` axis."""
+    x_local = np.asarray(x_local)
+    global_shape = (global_batch,) + x_local.shape[1:]
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), x_local, global_shape)

@@ -30,11 +30,33 @@ from embeddingnet_tpu.train import optim, steps
 from embeddingnet_tpu.train.state import TrainState
 
 
+def host_copy(a):
+    """Host numpy copy of an array leaf, multi-process safe.
+
+    A cross-process (non-fully-addressable) replicated array's local
+    replica IS the full value; a genuinely sharded leaf (TP'd params)
+    needs the cross-process gather.  Single-process / host leaves pass
+    through ``np.asarray``.
+    """
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        if a.sharding.is_fully_replicated:
+            return np.asarray(a.addressable_data(0))
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 class Trainer:
     def __init__(self, params, data_loader, log_fn: Callable = print):
         self.params = params
         self.data_loader = data_loader
-        self.log = log_fn
+        # Multi-process (multi-host) launches: every process runs this
+        # same loop in lockstep — identical sampler seeds, per-process
+        # batch feeding (_put_batch), collective checkpoint saves — and
+        # only process 0 logs/exports (docs/SCALING.md "Multi-host").
+        self._n_proc = jax.process_count()
+        self._proc0 = jax.process_index() == 0
+        self.log = log_fn if self._proc0 else (lambda *a, **k: None)
         self.mode = params.model.mode
         self.paths = ckpt.create_save_folders(params.general)
 
@@ -59,6 +81,7 @@ class Trainer:
                 if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
                 self.variables)
         self._build_optimizer()
+        self._place_state()
         self._build_steps()
 
         self.history = cb.History()
@@ -99,6 +122,12 @@ class Trainer:
         n = len(jax.devices())
         data = n // mc.model if mc.data == -1 else mc.data
         if data * mc.model <= 1:
+            if self._n_proc > 1:
+                from embeddingnet_tpu.config import ConfigError
+                raise ConfigError(
+                    "multi-process launch needs a >1-device mesh: set "
+                    "MESH.data: -1 (all devices) so every process's "
+                    "devices participate")
             return None
         from embeddingnet_tpu.parallel import build_mesh
         mesh = build_mesh(data=mc.data, model=mc.model)
@@ -238,6 +267,27 @@ class Trainer:
             self.variables, self.optimizer,
             rng=jax.random.PRNGKey(self.params.general.seed + 1))
 
+    def _place_state(self):
+        """Commit the train state to the global mesh.
+
+        Multi-process only: each process builds the state locally from
+        the same seed, and a cross-process jit cannot consume local
+        arrays — ``jax.device_put`` to the replicated (or TP) sharding
+        turns the per-process copies into one global array with no
+        comms (every process already holds the full value).  Re-run
+        after anything that splices local arrays back into the state
+        (softmax-pretraining handoff); single-process is a no-op — the
+        jitted step's in_shardings place local state on first call.
+        """
+        if self.mesh is None or self._n_proc == 1:
+            return
+        if self.mesh.shape.get("model", 1) > 1:
+            from embeddingnet_tpu.parallel import device_put_state
+            self.state = device_put_state(self.state, self.mesh)
+        else:
+            from embeddingnet_tpu.parallel import replicated
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+
     def _mining_mode_for_epoch(self, epoch: int) -> str:
         """Active negatives-selection mode for an epoch. With
         TRAIN.mining_warmup_epochs: N the first N epochs run
@@ -356,6 +406,7 @@ class Trainer:
                                 self.data_loader.class_names,
                                 k_classes=g.k_classes,
                                 k_samples=g.k_samples, seed=seed)
+        sampler = self._wrap_process_shard(sampler, pk_check=True)
         return BatchLoader(sampler, self.params.model.input_shape,
                            n_batches=g.n_batches,
                            fast_decode=self.params.performance.fast_decode,
@@ -378,9 +429,26 @@ class Trainer:
             sampler = TripletSampler(self.data_loader.val_data,
                                      self.data_loader.class_names,
                                      batch_size=g.batch_size, seed=seed)
+        sampler = self._wrap_process_shard(sampler)
         return BatchLoader(sampler, self.params.model.input_shape,
                            n_batches=g.n_batches_val,
                            cache=self._decode_cache)
+
+    def _wrap_process_shard(self, sampler, pk_check: bool = False):
+        """Multi-process: every process draws the identical global batch
+        (same seeds) and this wrapper keeps only its contiguous row
+        block; ``_put_batch`` reassembles the global array.  The P-K
+        layout guard moves here — it must see GLOBAL labels (the miner
+        asserts the global layout; groups may straddle process blocks).
+        Single-process: pass-through."""
+        if self.mesh is None or self._n_proc == 1:
+            return sampler
+        from embeddingnet_tpu.data.samplers import ProcessShardSampler
+        from embeddingnet_tpu.parallel.mesh import process_row_block
+        lo, hi = process_row_block(self.mesh, sampler.batch_size)
+        check = (self._validate_pk_labels
+                 if pk_check and self._pk_armed() else None)
+        return ProcessShardSampler(sampler, lo, hi, global_check=check)
 
     # -- resume ------------------------------------------------------------
 
@@ -456,33 +524,43 @@ class Trainer:
         labels + all group labels distinct ⟺ the miner's asserted
         layout, no [B,B] comparison needed.
         """
-        g = self.params.generator
-        k = g.k_samples
+        # Multi-process: the ProcessShardSampler wrapper already ran
+        # _validate_pk_labels on the GLOBAL labels (the miner asserts the
+        # global layout; local blocks may split groups mid-batch).
+        armed = self._pk_armed() and self._n_proc == 1
+        for batch in loader:
+            if armed:
+                self._validate_pk_labels(batch[1])
+            yield batch
+
+    def _pk_armed(self) -> bool:
         # parity modes and batch_all poison when k_samples is armed (r4:
         # batch_all dropped its lax.cond fallback — the cond was a
         # ~0.8 ms/step fusion barrier); batch_hard ignores k_samples and
         # is safe on any layout
-        armed = (self.mode == "triplet" and k >= 2
-                 and self._mining_mode != "batch_hard")
-        for batch in loader:
-            if armed:
-                labels = np.asarray(batch[1])
-                b = labels.shape[0]
-                if 1 < k < b and b % k == 0:
-                    blocks = labels.reshape(b // k, k)
-                    grouped = bool(np.all(blocks == blocks[:, :1]))
-                    heads = blocks[:, 0]
-                    distinct = len(np.unique(heads)) == heads.shape[0]
-                    if not (grouped and distinct):
-                        raise ValueError(
-                            "triplet train batch is not grouped P-K: with "
-                            f"GENERATOR.k_samples={k} the miner asserts "
-                            "contiguous groups of k_samples same-class "
-                            "images with no class split across groups "
-                            "(PKSampler produces this). A custom loader "
-                            "must either honor that layout or unset "
-                            "k_samples (slower dense mining).")
-            yield batch
+        return (self.mode == "triplet"
+                and self.params.generator.k_samples >= 2
+                and self._mining_mode != "batch_hard")
+
+    def _validate_pk_labels(self, labels):
+        k = self.params.generator.k_samples
+        labels = np.asarray(labels)
+        b = labels.shape[0]
+        if not (1 < k < b and b % k == 0):
+            return
+        blocks = labels.reshape(b // k, k)
+        grouped = bool(np.all(blocks == blocks[:, :1]))
+        heads = blocks[:, 0]
+        distinct = len(np.unique(heads)) == heads.shape[0]
+        if not (grouped and distinct):
+            raise ValueError(
+                "triplet train batch is not grouped P-K: with "
+                f"GENERATOR.k_samples={k} the miner asserts "
+                "contiguous groups of k_samples same-class "
+                "images with no class split across groups "
+                "(PKSampler produces this). A custom loader "
+                "must either honor that layout or unset "
+                "k_samples (slower dense mining).")
 
     def _run_train_epoch(self) -> dict:
         totals_dev, count = None, 0
@@ -528,8 +606,18 @@ class Trainer:
     def _put_batch(self, x):
         if self.mesh is None:
             return jnp.asarray(x)
+        x = np.asarray(x)
+        if self._n_proc > 1:
+            # x is this process's contiguous row block of the logical
+            # global batch (ProcessShardSampler); assemble the global
+            # sharded array — no cross-host data movement, each
+            # process's rows land on its own devices.
+            from embeddingnet_tpu.parallel.mesh import \
+                put_process_local_batch
+            return put_process_local_batch(
+                x, self.mesh, x.shape[0] * self._n_proc)
         from embeddingnet_tpu.parallel import batch_sharding
-        return jax.device_put(np.asarray(x), batch_sharding(self.mesh))
+        return jax.device_put(x, batch_sharding(self.mesh))
 
     def _batch_images(self, batch) -> int:
         # shape metadata only — np.asarray here would fetch device-
@@ -546,15 +634,19 @@ class Trainer:
         totals_dev, count = None, 0
         for batch in loader:
             images, targets = batch
+            # _put_batch: plain transfer single-device; mesh-sharded
+            # global arrays under a mesh (required in multi-process —
+            # local arrays cannot feed a cross-process computation)
             if self.mode == "siamese":
                 (im1, im2) = images
-                metrics = self.eval_step(self.state, jnp.asarray(im1),
-                                         jnp.asarray(im2),
-                                         jnp.asarray(targets))
+                metrics = self.eval_step(self.state, self._put_batch(im1),
+                                         self._put_batch(im2),
+                                         self._put_batch(targets))
             else:
                 a, p, n = images
-                metrics = self.eval_step(self.state, jnp.asarray(a),
-                                         jnp.asarray(p), jnp.asarray(n))
+                metrics = self.eval_step(self.state, self._put_batch(a),
+                                         self._put_batch(p),
+                                         self._put_batch(n))
             # device-side accumulation (same rationale as the train epoch)
             totals_dev = metrics if totals_dev is None else \
                 jax.tree_util.tree_map(jnp.add, totals_dev, metrics)
@@ -567,6 +659,10 @@ class Trainer:
     def fit(self, n_epochs: Optional[int] = None) -> cb.History:
         import os as _os
         n_epochs = n_epochs or self.params.train.n_epochs
+        # re-place in case a pretraining handoff or manual param surgery
+        # spliced process-local arrays into the global state (no-op
+        # single-process / already-placed)
+        self._place_state()
         profile_dir = _os.environ.get("EMBEDDINGNET_PROFILE")
         for epoch in range(self.start_epoch, n_epochs):
             self._current_epoch = epoch   # epoch-distinct sampler seeds
@@ -594,7 +690,12 @@ class Trainer:
                 val_metrics.update(self.evaluate_recall())
             metrics = {**train_metrics, **val_metrics}
             self.history.append(metrics)
-            self.metrics_logger.log(epoch, metrics)
+            if self._proc0:
+                # metric FILES are process-0's; decisions below (plateau,
+                # early stop, checkpoint-best) use replicated metric
+                # values identical on every process, so the loop stays
+                # in lockstep and the collective Orbax save agrees
+                self.metrics_logger.log(epoch, metrics)
 
             scale = self.plateau.update(metrics)
             self.state = self.state.replace(
@@ -623,6 +724,14 @@ class Trainer:
             return {}
         cap = self.params.train.eval_recall_max_per_class
         variables = self.encoder_variables()
+        if self._n_proc > 1:
+            # Recall eval is a host-driven loop over decoded chunks; in
+            # multi-process it runs PER PROCESS on host copies of the
+            # (replicated) encoder weights — every process computes the
+            # identical result locally with zero cross-process traffic,
+            # keeping the callback/checkpoint lockstep without turning
+            # each 256-image chunk into a collective.
+            variables = jax.tree_util.tree_map(host_copy, variables)
         # cache the jitted encoder across epochs (a fresh jax.jit per
         # eval recompiled every call) and pad the tail chunk so one
         # [256, H, W, C] program serves every DB size
@@ -661,7 +770,8 @@ class Trainer:
         if not len(db_emb) or not len(q_emb):
             return {}
         k5 = min(5, len(db_labels))
-        d_axis = self.mesh.shape["data"] if self.mesh is not None else 1
+        d_axis = (self.mesh.shape["data"]
+                  if self.mesh is not None and self._n_proc == 1 else 1)
         if d_axis > 1 and len(db_labels) >= 2 * d_axis:
             # Mesh-sharded encodings-database kNN (BASELINE configs[3]):
             # DB rows shard over the data axis, queries replicate, two-stage
@@ -853,6 +963,12 @@ class Trainer:
         return encoder_params
 
     # -- export ------------------------------------------------------------
+
+    def host_encoder_variables(self):
+        """:meth:`encoder_variables` as host numpy — the multi-process-
+        safe export view (cross-process device arrays can't feed the
+        local-jit export/serving paths)."""
+        return jax.tree_util.tree_map(host_copy, self.encoder_variables())
 
     def encoder_variables(self):
         """Variables dict for the encoder view (encodings export, eval).

@@ -103,12 +103,25 @@ def _set_at(opt_state, path, value):
 
 
 def set_plateau_scale(opt_state, scale: float):
-    """Return opt_state with the plateau LR multiplier replaced."""
+    """Return opt_state with the plateau LR multiplier replaced.
+
+    Multi-process: the outgoing leaf is a cross-process global array
+    (the jitted step's replicated out-sharding); splicing a host-local
+    scalar in its place would break the collective Orbax save and the
+    next global step. Re-place the new value with the old leaf's
+    sharding — every process passes the identical ``scale`` (lockstep
+    plateau state), which is exactly ``device_put``'s contract for
+    non-addressable shardings. Single-process: plain ``jnp.asarray``.
+    """
     path = _walk_chain(opt_state, lambda s: hasattr(s, "hyperparams")
                        and "plateau_scale" in s.hyperparams)
     inner = _get_at(opt_state, path)
     new_hyper = dict(inner.hyperparams)
-    new_hyper["plateau_scale"] = jnp.asarray(scale, jnp.float32)
+    old = inner.hyperparams["plateau_scale"]
+    new = jnp.asarray(scale, jnp.float32)
+    if isinstance(old, jax.Array) and not old.is_fully_addressable:
+        new = jax.device_put(new, old.sharding)
+    new_hyper["plateau_scale"] = new
     return _set_at(opt_state, path, inner._replace(hyperparams=new_hyper))
 
 

@@ -73,7 +73,16 @@ def main():
     history = trainer.fit()
     # Export the best-monitored epoch, not wherever the loop halted (the
     # manager is save_best_only — its latest checkpoint IS the best).
+    # Collective in multi-process (Orbax restore), so before the guard.
     trainer.restore_best()
+
+    import jax
+    if jax.process_index() != 0:
+        # export/plots/encodings are process-0 work; wait so the
+        # coordinator (process 0) outlives every worker
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("embeddingnet_export_done")
+        return
 
     if params.train.plot_history:
         from embeddingnet_tpu.utils.viz import plot_grapths
@@ -82,8 +91,9 @@ def main():
     # export the trained encoder in the format test.py / serve.py load
     from embeddingnet_tpu.models import EmbeddingNet
     net = EmbeddingNet(params)
-    net.variables = trainer.encoder_variables()
-    import jax
+    net.variables = (trainer.host_encoder_variables()
+                     if jax.process_count() > 1
+                     else trainer.encoder_variables())
     net._encode_jit = jax.jit(
         lambda v, x: net.module.apply(v, x, train=False))
     weights_path = net.save_base_model(trainer.paths["work_dir"])
@@ -113,6 +123,11 @@ def main():
             net.encoded_training_data = db
             acc = net.calculate_prediction_accuracy(data_loader)
             print(f"recall@1={acc['top1']:.4f} recall@5={acc['top5']:.4f}")
+
+    if jax.process_count() > 1:
+        # release the workers parked at the matching barrier above
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("embeddingnet_export_done")
 
 
 if __name__ == "__main__":
