@@ -96,17 +96,25 @@ def bench_ours(batch, augment: bool = False):
     module, variables = build_model(jnp, jnp.bfloat16)
     optimizer = optax.adam(1e-3)
     state = TrainState.create(variables, optimizer)
-    base_step = make_triplet_train_step(module, optimizer, margin=0.5,
-                                        mode="batch_all",
-                                        compute_dtype=jnp.bfloat16,
-                                        augment_fn=augment_fn,
-                                        max_positives=K_SAMPLES - 1)
+    step_kwargs = dict(margin=0.5, mode="batch_all",
+                       compute_dtype=jnp.bfloat16, augment_fn=augment_fn,
+                       max_positives=K_SAMPLES - 1)
     # PERFORMANCE.param_packing default: small f32 leaves live in flat
-    # buffers between steps (train/packing.py, +0.33 ms/step — probe8)
+    # buffers between steps (train/packing.py). r5: the state stays
+    # packed THROUGH the optimizer (flat_step_hooks — adam runs on the
+    # fused buffers); wrap_step is the structure-keyed-optimizer
+    # fallback, same as the Trainer.
     from embeddingnet_tpu.train.packing import StatePacker
     packer = StatePacker(state)
+    if packer.flat_optimizer_ok(state, optimizer):
+        base_step = make_triplet_train_step(
+            module, optimizer, **step_kwargs,
+            **packer.flat_step_hooks(optimizer))
+    else:
+        base_step = packer.wrap_step(
+            make_triplet_train_step(module, optimizer, **step_kwargs))
     state = jax.jit(packer.pack_state)(state)
-    step = jax.jit(packer.wrap_step(base_step), donate_argnums=(0,))
+    step = jax.jit(base_step, donate_argnums=(0,))
 
     images_np, labels_np = make_batch(batch, IMG)
     images = jnp.asarray(images_np)

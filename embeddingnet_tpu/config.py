@@ -339,6 +339,12 @@ class PerformanceConfig(_SectionBase):
     # (e.g. 12.8k images @96px = ~350 MB); epochs after the first skip
     # the host jpeg-decode wall entirely (data/pipeline.DecodeCache).
     decode_cache_mb: int = 0
+    # Recall-eval decoded-image cache, in megabytes (0 = off): the eval
+    # DB/query path lists are fixed across epochs, so warm evals skip
+    # host decode entirely and only re-ENCODE with the current params
+    # (train/loop.py:evaluate_recall). Exact — cached uint8 pixels equal
+    # a re-decode. Default sized for ~10k images @96px.
+    eval_decode_cache_mb: int = 512
     # DCT-prescaled JPEG decode in the native loader: ~1.5x decode
     # throughput at >= 2:1 downscales, at a measured mean ~1.2 gray-level
     # deviation from the exact cv2 path (data/native_loader.py). Off by

@@ -817,6 +817,21 @@ def _batch_all_forward(embeddings: jnp.ndarray, labels: jnp.ndarray,
         emb32 = embeddings.astype(jnp.float32)
         return loss, stats, (emb32, k, m, denom, poison)
 
+    if b >= 2048:
+        # Trace-time (fires once per compilation, not per step): the
+        # generic-label rowblock-sort path is a measured 26x cliff at
+        # scale — 60.5 ms vs 2.3 ms fwd+bwd at B=4096 on v5e
+        # (docs/MINING.md "The general-label cliff"). The compare-reduce
+        # fast path needs a per-anchor positive bound, which grouped P-K
+        # batches provide.
+        import warnings
+        warnings.warn(
+            f"batch_all_loss at B={b} without max_positives takes the "
+            "generic rowblock-sort path: ~26x slower than the grouped "
+            "P-K compare-reduce (60.5 vs 2.3 ms fwd+bwd at B=4096 on "
+            "TPU v5e). Sample P-K batches (GENERATOR.k_samples) and "
+            "pass max_positives=k_samples-1 for the fast path.",
+            stacklevel=2)
     pair_sum, k, m = batch_all_rowblock(sq, pos_mask, neg_mask, margin)
     active = jnp.sum(k)
     denom = jnp.maximum(active, 1.0)

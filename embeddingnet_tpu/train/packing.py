@@ -29,6 +29,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax import tree_util as jtu
 
 # BN vectors top out at 2048 for the zoo's widest backbones; anything
@@ -176,3 +177,64 @@ class StatePacker:
             return self.pack_state(new_state), metrics
 
         return packed_step
+
+    # -- packed-through-the-optimizer path (r5) ---------------------------
+
+    def flat_optimizer_ok(self, state, optimizer) -> bool:
+        """True iff ``optimizer.update`` accepts the PACKED layout.
+
+        Probed abstractly (``jax.eval_shape`` — no FLOPs): pack the
+        state, feed packed-shaped grads through update + apply_updates.
+        Elementwise transforms (adam/rmsprop/radam/sgd/adamw, the
+        plateau scale, the param EMA) run identically on the fused
+        buffers; anything keyed on the params *structure* (e.g.
+        ``optim.masked``'s multi_transform label tree) raises here and
+        the Trainer falls back to :meth:`wrap_step`.
+
+        Numerics note: packing only regroups leaves — any transform
+        that is elementwise or whose reductions span ALL leaves (e.g. a
+        global-norm clip) is bit-identical on the packed layout; only a
+        hypothetical PER-LEAF-normalizing transform (LARS-style) would
+        silently change semantics, and none exists in train/optim.py.
+        """
+        try:
+            def probe(state):
+                p = self.pack_state(state)
+                grads = jtu.tree_map(jnp.zeros_like, p.params)
+                updates, _ = optimizer.update(grads, p.opt_state, p.params)
+                return optax.apply_updates(p.params, updates)
+
+            jax.eval_shape(probe, state)
+            return True
+        except Exception:
+            return False
+
+    def flat_step_hooks(self, optimizer) -> dict:
+        """Layout hooks for the step factories (train/steps.py): keep the
+        train state packed THROUGH the optimizer.
+
+        ``wrap_step`` unpacks/repacks everything around the ordinary
+        step, so adam still runs as ~400 per-leaf small-vector ops that
+        XLA's memory-space assignment then shuttles between HBM levels
+        (the r4 trace's residual ~1.7 ms/step ``copy-start/done``
+        bucket, docs/BENCHMARKS.md "Round-4 step decomposition"). With
+        these hooks the step unpacks params/stats ONLY for the forward,
+        packs the grads once (one concatenate), and the optimizer math
+        itself runs on the fused f32 buffers — mu/nu/params updates are
+        a handful of large elementwise ops. Gate with
+        :meth:`flat_optimizer_ok` first.
+        """
+
+        def update_fn(state, grads, **repl):
+            pgrads = self.pp.pack(grads)
+            updates, opt_state = optimizer.update(pgrads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            if repl.get("batch_stats") is not None:
+                repl["batch_stats"] = self.bp.pack(repl["batch_stats"])
+            return state.replace(params=params, opt_state=opt_state,
+                                 step=state.step + 1, **repl)
+
+        return {"param_view": self.pp.unpack,
+                "stats_view": self.bp.unpack,
+                "update_fn": update_fn}

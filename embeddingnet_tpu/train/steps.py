@@ -25,6 +25,33 @@ from embeddingnet_tpu.train.state import TrainState
 AugmentFn = Callable[[jnp.ndarray, jax.Array], jnp.ndarray]
 
 
+def _optax_tail(optimizer):
+    """Standard update tail shared by the train-step factories:
+    ``optimizer.update`` + ``apply_updates`` over whatever layout
+    ``state.params`` / ``state.opt_state`` carry."""
+
+    def update_fn(state, grads, **repl):
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1, **repl)
+
+    return update_fn
+
+
+# Layout hooks (r5): the train-step factories accept
+#   param_view(state.params) -> params for the forward/grad,
+#   stats_view(state.batch_stats) -> batch_stats for the forward,
+#   update_fn(state, grads, *, batch_stats, rng) -> new state,
+# so a packed train state (train/packing.py) can stay packed THROUGH
+# the optimizer: grads are packed once and adam/rmsprop/... run as a
+# handful of fused ops on the flat buffers instead of ~400 per-leaf
+# small-vector updates the TPU scheduler then shuffles between memory
+# spaces (the r4 trace's 1.75 ms/step copy-start/done bucket). Defaults
+# are identity / the standard optax tail.
+
+
 def _preprocess(images: jnp.ndarray, dtype, augment_fn: Optional[AugmentFn],
                 rng: jax.Array) -> jnp.ndarray:
     """uint8 BGR batch -> augmented, /255-normalized compute-dtype batch.
@@ -78,7 +105,9 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
                             reg_rules: Sequence = (),
                             compute_dtype=jnp.float32,
                             remat: bool = False,
-                            max_positives=None):
+                            max_positives=None,
+                            param_view=None, stats_view=None,
+                            update_fn=None):
     """Online-mining triplet step over P-K batches ``(images, labels)``.
 
     Replaces the reference's generator->predict->sklearn->select pipeline
@@ -92,13 +121,18 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
                                          mode=mode, rng=mine_rng,
                                          max_positives=max_positives)
 
+    update = update_fn or _optax_tail(optimizer)
+
     def step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray
              ) -> Tuple[TrainState, dict]:
         rng, aug_rng, drop_rng, mine_rng = jax.random.split(state.rng, 4)
+        params0 = param_view(state.params) if param_view else state.params
+        stats0 = (stats_view(state.batch_stats) if stats_view
+                  else state.batch_stats)
 
         def loss_fn(params):
             x = _preprocess(images, compute_dtype, augment_fn, aug_rng)
-            emb, new_stats = _apply_model(module, params, state.batch_stats,
+            emb, new_stats = _apply_model(module, params, stats0,
                                           x, True, drop_rng, remat=remat)
             emb = emb.astype(jnp.float32)
             loss, stats = _mine(emb, labels, mine_rng)
@@ -106,13 +140,8 @@ def make_triplet_train_step(module, optimizer: optax.GradientTransformation,
             return total, (loss, stats, new_stats)
 
         grads, (raw_loss, stats, new_stats) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(params=params, opt_state=opt_state,
-                                  batch_stats=new_stats, rng=rng,
-                                  step=state.step + 1)
+            loss_fn, has_aux=True)(params0)
+        new_state = update(state, grads, batch_stats=new_stats, rng=rng)
         metrics = {
             "loss": raw_loss,
             "n_triplets": stats.n_triplets,
@@ -152,7 +181,9 @@ def make_siamese_train_step(module, optimizer: optax.GradientTransformation,
                             contrastive_margin: float = 1.0,
                             augment_fn: Optional[AugmentFn] = None,
                             reg_rules: Sequence = (),
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32,
+                            param_view=None, stats_view=None,
+                            update_fn=None):
     """Siamese pair step: contrastive loss on the pair-distance output
     (``tools/train.py:108-119``) + the 0.5-threshold pair accuracy metric
     (``losses_and_accuracies.py:47-50``).
@@ -162,15 +193,20 @@ def make_siamese_train_step(module, optimizer: optax.GradientTransformation,
     (``models.py:217-221``).
     """
 
+    update = update_fn or _optax_tail(optimizer)
+
     def step(state: TrainState, images_1, images_2, targets
              ) -> Tuple[TrainState, dict]:
         rng, aug1, aug2, drop_rng = jax.random.split(state.rng, 4)
+        params0 = param_view(state.params) if param_view else state.params
+        stats0 = (stats_view(state.batch_stats) if stats_view
+                  else state.batch_stats)
 
         def loss_fn(params):
             x1 = _preprocess(images_1, compute_dtype, augment_fn, aug1)
             x2 = _preprocess(images_2, compute_dtype, augment_fn, aug2)
             (d, _e1, _e2), new_stats = _apply_model(
-                module, params, state.batch_stats,
+                module, params, stats0,
                 (x1, x2), True, drop_rng)
             d = d.astype(jnp.float32)
             loss = loss_ops.contrastive_loss(targets, d, contrastive_margin)
@@ -178,13 +214,8 @@ def make_siamese_train_step(module, optimizer: optax.GradientTransformation,
             return total, (loss, d, new_stats)
 
         grads, (raw_loss, d, new_stats) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(params=params, opt_state=opt_state,
-                                  batch_stats=new_stats, rng=rng,
-                                  step=state.step + 1)
+            loss_fn, has_aux=True)(params0)
+        new_state = update(state, grads, batch_stats=new_stats, rng=rng)
         metrics = {"loss": raw_loss,
                    "accuracy": loss_ops.accuracy(targets, d)}
         return new_state, metrics
@@ -267,31 +298,33 @@ def make_arcface_train_step(module, optimizer: optax.GradientTransformation,
                             *, n_classes: int, margin: float = 0.5,
                             scale: float = 64.0,
                             augment_fn: Optional[AugmentFn] = None,
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32,
+                            param_view=None, stats_view=None,
+                            update_fn=None):
     """ArcFace margin-loss step (stretch mode beyond the reference —
     BASELINE.json configs[4]). ``module`` is a
     :class:`registry.ArcFaceModule` (encoder + class-weight matrix)."""
 
+    update = update_fn or _optax_tail(optimizer)
+
     def step(state: TrainState, images, labels) -> Tuple[TrainState, dict]:
         rng, aug_rng, drop_rng = jax.random.split(state.rng, 3)
+        params0 = param_view(state.params) if param_view else state.params
+        stats0 = (stats_view(state.batch_stats) if stats_view
+                  else state.batch_stats)
 
         def loss_fn(params):
             x = _preprocess(images, compute_dtype, augment_fn, aug_rng)
             (emb, weights), new_stats = _apply_model(
-                module, params, state.batch_stats, x, True, drop_rng)
+                module, params, stats0, x, True, drop_rng)
             loss = loss_ops.arcface_loss(
                 emb.astype(jnp.float32), labels,
                 weights.astype(jnp.float32), margin=margin, scale=scale)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(params=params, opt_state=opt_state,
-                                  batch_stats=new_stats, rng=rng,
-                                  step=state.step + 1)
+            loss_fn, has_aux=True)(params0)
+        new_state = update(state, grads, batch_stats=new_stats, rng=rng)
         return new_state, {"loss": loss}
 
     return step

@@ -156,3 +156,25 @@ def test_sync_headline_handles_missing_vs_fields(tmp_path, monkeypatch):
     assert "12,346" in text
     assert "(\n" not in text.split(sh.BEGIN)[1].split(sh.END)[0]
     assert "outro" in text
+
+
+def test_batch_all_rowblock_cliff_warns_at_scale():
+    """VERDICT r4 weak #2: large general-label batch-all must warn loudly
+    that it landed on the 26x rowblock-sort path. Trace-time only
+    (eval_shape) — no compile, no compute."""
+    import warnings
+    from embeddingnet_tpu.ops.mining import batch_all_loss
+
+    emb = jax.ShapeDtypeStruct((2048, 64), jnp.float32)
+    labels = jax.ShapeDtypeStruct((2048,), jnp.int32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        jax.eval_shape(lambda e, l: batch_all_loss(e, l), emb, labels)
+    assert any("rowblock-sort path" in str(x.message) for x in w)
+
+    # grouped P-K path (max_positives set) must NOT warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        jax.eval_shape(
+            lambda e, l: batch_all_loss(e, l, max_positives=3), emb, labels)
+    assert not any("rowblock" in str(x.message) for x in w)

