@@ -696,7 +696,13 @@ class Trainer:
             val_metrics = self._run_val_epoch()
             every = self.params.train.eval_recall_every
             if every and (epoch + 1) % every == 0:
-                val_metrics.update(self.evaluate_recall())
+                t_ev = time.perf_counter()
+                rec = self.evaluate_recall()
+                if rec:
+                    # wall observability: warm evals should show the
+                    # decode-cache win (cold decodes, warm only encodes)
+                    rec["recall_eval_s"] = time.perf_counter() - t_ev
+                val_metrics.update(rec)
             metrics = {**train_metrics, **val_metrics}
             self.history.append(metrics)
             if self._proc0:
